@@ -1,0 +1,105 @@
+"""Bit-slicing layout transforms (vectorised, numpy- and JAX-compatible).
+
+Layout contract (identical to the reference, little-endian):
+  * An *unbitsliced* batch is ``BITS_WIDTH`` uint32 words holding 32 field
+    elements of ``BITS_WIDTH`` bits each, element-major: element ``j``
+    occupies words ``[j*IPV, (j+1)*IPV)`` where ``IPV = BITS_WIDTH // 32``,
+    word 0 being the least-significant 32 bits.
+  * A *bitsliced* batch is the 32 x BITS_WIDTH bit-matrix transpose of that:
+    sliced word ``i`` is bit-plane ``i`` — bit ``j`` of sliced word ``i`` is
+    bit ``i`` of element ``j``.
+
+Reference semantics: src/ulvt/utils/bitslicing.cuh —
+  transpose32 (:14-26, Hacker's Delight 32x32 bit transpose),
+  bitslice_transpose (:32-47), bitslice_untranspose (:49-64),
+  repeat_value_bitsliced (:66-74).
+
+All functions here operate on arrays of shape ``(..., BITS_WIDTH)`` — i.e.
+arbitrarily many batches at once — and are pure (return new arrays), which is
+the idiomatic JAX formulation of the reference's in-place CUDA kernels
+(transpose_kernel / untranspose_kernel, bitslicing.cuh:89-105).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "transpose32",
+    "bitslice_transpose",
+    "bitslice_untranspose",
+    "repeat_value_bitsliced",
+]
+
+
+def _xp(arr):
+    """Return the array namespace (numpy or jax.numpy) for `arr`."""
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def transpose32(a):
+    """Transpose the 32x32 bit matrix held in the last axis (32 uint32 words).
+
+    Vectorised form of the Hacker's Delight in-place transpose
+    (bitslicing.cuh:14-26); accepts shape (..., 32).
+    """
+    xp = _xp(a)
+    assert a.shape[-1] == 32
+    m = 0x0000FFFF
+    j = 16
+    while j != 0:
+        # rows with bit j of the index clear pair with rows where it is set
+        lead = a.shape[:-1]
+        a = a.reshape(lead + (32 // (2 * j), 2, j))
+        lo = a[..., 0, :]
+        hi = a[..., 1, :]
+        t = ((lo >> j) ^ hi) & xp.uint32(m)
+        lo = lo ^ (t << j)
+        hi = hi ^ t
+        a = xp.stack([lo, hi], axis=-2).reshape(lead + (32,))
+        j >>= 1
+        m = (m ^ (m << j)) & 0xFFFFFFFF if j else m
+    return a
+
+
+def bitslice_transpose(arr):
+    """Unbitsliced (..., W) -> bitsliced (..., W); cf. bitslicing.cuh:32-47."""
+    xp = _xp(arr)
+    w = arr.shape[-1]
+    ipv = w // 32
+    lead = arr.shape[:-1]
+    # permutation: new[32*(i % ipv) + i // ipv] = old[i]
+    a = arr.reshape(lead + (32, ipv))
+    a = xp.swapaxes(a, -1, -2)  # (..., ipv, 32): square s holds word s of each elem
+    a = transpose32(a)
+    return a.reshape(lead + (w,))
+
+
+def bitslice_untranspose(arr):
+    """Bitsliced (..., W) -> unbitsliced (..., W); cf. bitslicing.cuh:49-64."""
+    xp = _xp(arr)
+    w = arr.shape[-1]
+    ipv = w // 32
+    lead = arr.shape[:-1]
+    a = arr.reshape(lead + (ipv, 32))
+    a = transpose32(a)
+    # permutation: new[ipv * (i % 32) + i // 32] = tmp[i]
+    a = xp.swapaxes(a, -1, -2)  # (..., 32, ipv)
+    return a.reshape(lead + (w,))
+
+
+def repeat_value_bitsliced(value, bits_width: int):
+    """Broadcast one value (IPV uint32 words) into a bitsliced batch.
+
+    cf. bitslicing.cuh:66-74.  `value` is a length-IPV uint32 sequence.
+    Returns a (bits_width,) numpy array.
+    """
+    value = np.asarray(value, dtype=np.uint32)
+    ipv = bits_width // 32
+    assert value.shape == (ipv,)
+    batch = np.tile(value, 32)
+    return bitslice_transpose(batch)
