@@ -1,0 +1,124 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+North-star metric (BASELINE.json): additive-NTT butterflies/s/chip at 2^24
+over GF(2^128), bit-sliced layout.  A 2^24-point transform runs
+log_h * 2^(log_h-1) butterflies per coset.
+
+vs_baseline: the reference publishes no per-size numbers (BASELINE.md) and
+only ever runs the additive NTT over GF(2^32); its "Additive NTT r=0
+log_h 1..28" Catch2 suite totals 67.8 s on a Kaggle-class GPU including
+H<->D copies and MD5 hashing (reference src/ulvt/ntt/result.txt).
+Attributing the geometric bulk of that to the top sizes gives roughly ~2 s
+for the 2^24 transform => ~1.0e8 butterflies/s as the baseline estimate used
+for the ratio below (GF(2^32) there vs GF(2^128) here — i.e. the ratio is
+conservative by a further ~8x field-width factor).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_BUTTERFLIES_PER_S = 1.0e8
+
+
+def _timeit(fn, iters=5):
+    import jax
+
+    t0 = time.time()
+    jax.block_until_ready(fn())
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        jax.block_until_ready(fn())
+        times.append(time.time() - t0)
+    return min(times), compile_s
+
+
+def bench_ntt128(log_h: int, log_rate: int = 0):
+    """Steady-state device time of the bit-sliced GF(2^128) transform."""
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.layout.bitslicing import bitslice_transpose
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+    import jax
+
+    ntt = AdditiveNTT128(log_h, log_rate)
+    words = mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4)
+    x = jnp.asarray(words.reshape(-1, 128))
+    sliced = jax.jit(bitslice_transpose)(x)
+    jax.block_until_ready(sliced)
+    best, compile_s = _timeit(lambda: ntt.apply_sliced(sliced))
+    butterflies = log_h * (1 << (log_h - 1)) * (1 << log_rate)
+    return butterflies / best, best, compile_s
+
+
+def bench_ntt32(log_h: int, log_rate: int = 0):
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.ntt.additive import AdditiveNTT
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+    import jax
+
+    ntt = AdditiveNTT(log_h, log_rate)
+    x = jnp.asarray(mt19937_stream(0xDEADBEEF + log_h + log_rate, 1 << log_h))
+    jax.block_until_ready(x)
+    best, compile_s = _timeit(lambda: ntt.apply(x))
+    butterflies = log_h * (1 << (log_h - 1)) * (1 << log_rate)
+    return butterflies / best, best, compile_s
+
+
+def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
+    """Steady-state time of one full device round (messages + fold)."""
+    import jax
+
+    from binius_ntt_tpu.sumcheck.prover import (
+        INTS_PER_VALUE, Sumcheck, _fold_kernel, _round_kernel)
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    evals = mt19937_stream(7, INTS_PER_VALUE * (1 << num_vars) * comp)
+    s = Sumcheck(evals, comp, num_vars)
+    coeff = s._coeffs[1]
+
+    def step():
+        r = _round_kernel(s._device_evals, s._coeffs,
+                          composition_size=comp, num_points=comp + 1)
+        f = _fold_kernel(s._device_evals, coeff)
+        return r, f
+
+    best, _ = _timeit(step, iters=3)
+    return best
+
+
+def main():
+    log_h = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    bps, ntt_s, compile_s = bench_ntt128(log_h=log_h)
+    extras = {
+        "ntt128_2^%d_seconds" % log_h: round(ntt_s, 6),
+        "ntt128_compile_seconds": round(compile_s, 2),
+    }
+    try:
+        bps32, ntt32_s, _ = bench_ntt32(log_h=min(log_h, 24))
+        extras["ntt32_2^%d_seconds" % min(log_h, 24)] = round(ntt32_s, 6)
+        extras["ntt32_butterflies_per_s"] = round(bps32, 1)
+    except Exception as e:
+        print(f"ntt32 bench skipped: {e}", file=sys.stderr)
+    try:
+        extras["sumcheck_2^20_round_seconds"] = round(
+            bench_sumcheck_round(), 6)
+    except Exception as e:
+        print(f"sumcheck bench skipped: {e}", file=sys.stderr)
+
+    result = {
+        "metric": f"additive_ntt128_butterflies_per_s_chip_2^{log_h}",
+        "value": round(bps, 1),
+        "unit": "butterflies/s",
+        "vs_baseline": round(bps / BASELINE_BUTTERFLIES_PER_S, 3),
+        "extras": extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Additive NTT over GF(2^128), bit-sliced — the flagship TPU pipeline.
+
+The reference only ever instantiates its additive NTT over GF(2^32)
+(src/ulvt/ntt/tests/test_ntt.cu:201-202); the 128-bit transform is the
+framework's north-star config (BASELINE.json config 3).  Same algorithm as
+ntt/additive.py (stages descend log_h-1..0; butterfly u' = u + w*v,
+v' = u' + v, additive_ntt.cuh:10-14; twiddles are XOR-subset-sums of the
+normalised subspace evaluations, :59-77) — but over *bit-sliced* data:
+
+  * an element batch is 32 GF(2^128) values as 128 uint32 bit-planes
+    (lane j of plane i = bit i of element 32k+j) — shape (batches, 128),
+    which lands exactly on the TPU's 8x128 VPU tiles;
+  * one multiply costs 3^7 = 2187 word-ANDs per 32 elements (~70 AND
+    ops/element) versus ~2^5 x 32 for the compact SWAR form — bit-slicing is
+    the speed-of-light layout for tower multiplication;
+  * stages s >= 5 pair whole batches; the twiddle is constant per pair-block
+    so it enters as bit-broadcast planes of a single 128-bit value;
+  * stages s < 5 pair lanes inside each batch: align v onto u with a word
+    shift (lane index == bit position), multiply against per-lane twiddle
+    planes, then recombine under even/odd lane masks.  The per-lane twiddle
+    factors as (batch-dependent value) XOR (lane-dependent value) by
+    GF(2)-linearity, so it costs one bit-broadcast plus one precomputed
+    static plane batch per stage.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import bitsliced as bf
+from ..fields import tower_scalar as ts
+from ..layout.bitslicing import bitslice_transpose, bitslice_untranspose
+from .additive import precompute_subspace_evals
+
+__all__ = ["AdditiveNTT128"]
+
+HEIGHT = 7
+W = 1 << HEIGHT            # 128 bit-planes
+IPV = W // 32              # 4 words per compact value
+
+# even-lane masks for in-batch butterflies at stage s (= MASKS of tower_simd)
+_LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
+
+
+def _stage_twiddles_multiword(constants_row, num_bits: int) -> np.ndarray:
+    """Doubling-construction twiddle table of 128-bit values: (2^bits, 4)."""
+    table = np.zeros((1, IPV), dtype=np.uint32)
+    for k in range(num_bits):
+        c = np.array(
+            [(constants_row[k] >> (32 * i)) & 0xFFFFFFFF for i in range(IPV)],
+            dtype=np.uint32,
+        )
+        table = np.concatenate([table, table ^ c[None, :]])
+    return table
+
+
+def _expand_bits(w4):
+    """(..., 4) compact uint32 words -> (..., 128) all-ones/zeros bit-planes."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (w4[..., :, None] >> shifts) & jnp.uint32(1)       # (..., 4, 32)
+    planes = bits.reshape(bits.shape[:-2] + (W,))
+    return jnp.uint32(0) - planes                              # 1 -> 0xFFFFFFFF
+
+
+class AdditiveNTT128:
+    """Additive NTT over GF(2^128), bit-sliced layout, one device."""
+
+    def __init__(self, log_h: int, log_rate: int = 0):
+        if not log_h >= 5:
+            raise ValueError("log_h must be >= 5 (at least one 32-elem batch)")
+        if not 0 <= log_rate <= 4:
+            raise ValueError("log_rate must be in [0, 4]")
+        self.log_h = log_h
+        self.log_rate = log_rate
+
+        rows = precompute_subspace_evals(log_h, log_rate, HEIGHT)
+        high_tables = {}
+        low_batch_tables = {}
+        low_lane_planes = {}
+        cosets = 1 << log_rate
+        for s in range(log_h):
+            bits = log_h + log_rate - 1 - s
+            if s >= 5:
+                high_tables[s] = jnp.asarray(
+                    _stage_twiddles_multiword(rows[s], bits))
+            else:
+                # indicator = coset<<(log_h-1-s) | k<<(4-s) | (j>>(s+1));
+                # lane part: bits m < 4-s from j, batch part: the rest.
+                lane_bits = min(4 - s, bits)
+                lane_vals = np.zeros((32, IPV), dtype=np.uint32)
+                for j in range(32):
+                    v = 0
+                    jj = j >> (s + 1)
+                    for m in range(lane_bits):
+                        if (jj >> m) & 1:
+                            v ^= rows[s][m]
+                    for i in range(IPV):
+                        lane_vals[j, i] = (v >> (32 * i)) & 0xFFFFFFFF
+                # bit-sliced planes of the 32 lane values: (128,)
+                low_lane_planes[s] = jnp.asarray(
+                    bitslice_transpose(lane_vals.reshape(W)))
+                low_batch_tables[s] = jnp.asarray(
+                    _stage_twiddles_multiword(
+                        rows[s][lane_bits:], bits - lane_bits))
+        self._high_tables = high_tables
+        self._low_batch_tables = low_batch_tables
+        self._low_lane_planes = low_lane_planes
+
+        self._apply_sliced = jax.jit(partial(
+            _apply128, log_h=log_h, log_rate=log_rate))
+
+    def apply_sliced(self, data):
+        """data: (2^log_h/32, 128) bit-sliced IN_ORDER input.
+
+        Returns (2^(log_h+log_rate)/32, 128) bit-sliced IN_ORDER output.
+        """
+        return self._apply_sliced(
+            data, self._high_tables, self._low_batch_tables,
+            self._low_lane_planes)
+
+    def apply(self, x_words):
+        """Compact interface: x_words (2^log_h * 4,) uint32 little-endian
+        element-major -> (2^(log_h+log_rate) * 4,) words."""
+        n = 1 << self.log_h
+        x = jnp.asarray(x_words, dtype=jnp.uint32).reshape(n // 32, W)
+        sliced = jax.jit(bitslice_transpose)(x)
+        out = self.apply_sliced(sliced)
+        back = jax.jit(bitslice_untranspose)(out)
+        return back.reshape(-1)
+
+
+def _apply128(data, high_tables, low_batch_tables, low_lane_planes, *,
+              log_h: int, log_rate: int):
+    n = 1 << log_h
+    nb = n // 32
+    cosets = 1 << log_rate
+    # replicate input per coset row: (C, nb, 128)
+    x = jnp.broadcast_to(data[None], (cosets, nb, W))
+    coset_ids = jnp.arange(cosets, dtype=jnp.uint32)
+
+    for s in range(log_h - 1, 4, -1):
+        db = 1 << (s - 5)                     # pair distance in batches
+        groups = nb // (2 * db)
+        # indicator = coset << (log_h-1-s) | group
+        idx = (coset_ids[:, None] << (log_h - 1 - s)) | jnp.arange(
+            groups, dtype=jnp.uint32)[None, :]
+        w4 = high_tables[s][idx]              # (C, G, 4)
+        wp = _expand_bits(w4)[:, :, None, :]  # (C, G, 1, 128)
+
+        v5 = x.reshape(cosets, groups, 2, db, W)
+        u, v = v5[:, :, 0], v5[:, :, 1]
+        u2 = u ^ bf.multiply(wp, v, HEIGHT)
+        v2 = u2 ^ v
+        x = jnp.stack([u2, v2], axis=2).reshape(cosets, nb, W)
+
+    for s in range(min(log_h - 1, 4), -1, -1):
+        lane_bits = min(4 - s, log_h + log_rate - 1 - s)
+        batch_bits_tbl = low_batch_tables[s]
+        # batch part of the indicator: coset<<(log_h-1-s-lane_bits) | k
+        idx = (coset_ids[:, None] << (log_h - 1 - s)) >> lane_bits
+        idx = idx | jnp.arange(nb, dtype=jnp.uint32)[None, :]
+        a4 = batch_bits_tbl[idx]              # (C, nb, 4)
+        wp = _expand_bits(a4) ^ low_lane_planes[s][None, None, :]
+
+        shift = 1 << s
+        umask = jnp.uint32(_LANE_MASKS[s])
+        vmask = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
+        v_at_u = x >> shift
+        un = x ^ bf.multiply(wp, v_at_u, HEIGHT)
+        out = (un & umask) | ((x ^ (un << shift)) & vmask)
+        x = out
+
+    return x.reshape(cosets * nb, W)

@@ -1,0 +1,103 @@
+"""Sumcheck prover over the QM31 prime extension field — TPU-native.
+
+Parity with the reference prime-field prover
+(src/ulvt/prime_field_sumcheck/sumcheck.cuh:8-97, core/kernels.cu:5-78):
+  * fixed 2 multilinear columns, degree-2 composition (a product);
+  * ``round_messages()`` returns the round polynomial evaluated at X = 0, 1, 2:
+    p(0) = sum of lower products, p(1) = sum of upper products,
+    p(2) via (upper - lower) + upper per column (kernels.cu:44-63);
+  * ``fold(challenge)``: lower' = lower + (upper - lower) * challenge
+    (kernels.cu:5-25).
+
+TPU formulation: sums are modular tree reductions with the M31 add monoid —
+bit-identical to the reference's lazy u64 accumulation + atomicAdd + final
+reduction (kernels.cu:65-77, qm31.cuh:75-78) because every partial is
+canonical mod P and addition mod P is associative/commutative.  This also
+maps directly onto ``psum``-style cross-device reduction later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.m31 import P, m31_add, m31_sub, qm31_mul
+
+__all__ = ["PrimeFieldSumcheck", "interpolate_at_host"]
+
+ONE_HALF = 0x40000000  # 2^30 == 1/2 mod P (prime_field_sumcheck/utils/interpolate.hpp:3)
+
+
+@jax.jit
+def _round_kernel(evals):
+    """evals: (2, rows, 4) -> points (3, 4); cf. get_round_coefficients."""
+    half = evals.shape[1] // 2
+    lower = evals[:, :half]
+    upper = evals[:, half:]
+    two_up_minus_low = m31_add(m31_sub(upper, lower), upper)  # (upper-lower)+upper
+
+    def reduce_prod(cols):  # (2, rows, 4) -> (4,)
+        prod = qm31_mul(cols[0], cols[1])
+        return jax.lax.reduce(prod, jnp.uint32(0), _m31_add_monoid, (0,))
+
+    return jnp.stack([
+        reduce_prod(lower),
+        reduce_prod(upper),
+        reduce_prod(two_up_minus_low),
+    ])
+
+
+def _m31_add_monoid(a, b):
+    s = a + b
+    return (s + (s >> 31)) & jnp.uint32(P)
+
+
+@jax.jit
+def _fold_kernel(evals, challenge):
+    """evals: (2, rows, 4), challenge (4,) -> (2, rows//2, 4)."""
+    half = evals.shape[1] // 2
+    lower = evals[:, :half]
+    upper = evals[:, half:]
+    return m31_add(lower, qm31_mul(m31_sub(upper, lower), challenge))
+
+
+class PrimeFieldSumcheck:
+    """QM31 sumcheck prover for the degree-2 two-column composition."""
+
+    def __init__(self, evals):
+        """evals: (2, 2^n, 4) uint32 QM31 columns, components canonical."""
+        evals = jnp.asarray(evals, dtype=jnp.uint32)
+        assert evals.ndim == 3 and evals.shape[0] == 2 and evals.shape[2] == 4
+        self._evals = evals
+        self.round = 0
+
+    def round_messages(self) -> np.ndarray:
+        """Round polynomial at X = 0, 1, 2 as a (3, 4) uint32 array."""
+        return np.asarray(_round_kernel(self._evals))
+
+    def fold(self, challenge) -> None:
+        challenge = jnp.asarray(challenge, dtype=jnp.uint32).reshape(4)
+        self._evals = _fold_kernel(self._evals, challenge)
+        self.round += 1
+
+
+def interpolate_at_host(challenge, points) -> np.ndarray:
+    """Quadratic interpolation at `challenge` given p(0), p(1), p(2).
+
+    cf. interpolate_at (prime_field_sumcheck/utils/interpolate.hpp:5-8):
+    p(x) = x(x-1)e2/2 - x(x-2)e1 + (x-1)(x-2)e0/2.
+    """
+    from ..fields.m31 import qm31_add_host, qm31_mul_host, qm31_sub_host
+
+    x = np.asarray(challenge, dtype=np.uint32)
+    e0, e1, e2 = (np.asarray(p, dtype=np.uint32) for p in points)
+    one = np.array([1, 0, 0, 0], np.uint32)
+    two = np.array([2, 0, 0, 0], np.uint32)
+    half = np.array([ONE_HALF, 0, 0, 0], np.uint32)
+    xm1 = qm31_sub_host(x, one)
+    xm2 = qm31_sub_host(x, two)
+    t2 = qm31_mul_host(qm31_mul_host(qm31_mul_host(x, xm1), e2), half)
+    t1 = qm31_mul_host(qm31_mul_host(x, xm2), e1)
+    t0 = qm31_mul_host(qm31_mul_host(qm31_mul_host(xm1, xm2), e0), half)
+    return qm31_add_host(qm31_sub_host(t2, t1), t0)

@@ -1,0 +1,247 @@
+"""Sumcheck prover over GF(2^128), bit-sliced — TPU-native.
+
+Protocol/API parity with the reference prover
+(src/ulvt/sumcheck/sumcheck.cuh:82-301):
+
+  * state = COMPOSITION_SIZE multilinear columns of 2^num_vars evaluations,
+    bit-sliced in 32-element batches (layout/bitslicing.py);
+  * ``round_messages()`` returns (sum, points): sum = XOR over all rows of
+    the composition product; points[p] = XOR over folded rows of the
+    composition product after folding every column at interpolation point p
+    (the fused compute_compositions kernel, sumcheck/core/kernels.cuh:5-102);
+  * ``move_to_next_round(challenge)`` folds every column in half:
+    lower' = lower + challenge * (lower + upper) (core.cu:25-56);
+  * when 32 evaluations remain the state migrates to the host and the tail
+    rounds run there (sumcheck.cuh:160-195, 283-297) — on TPU the tail is
+    negligible and runs replicated in numpy via the same jnp kernels on CPU.
+
+TPU-first formulation: the whole round is a single jitted program —
+  - composition products: (COMPOSITION_SIZE-1) bit-sliced stacked-Karatsuba
+    multiplies over a (C, B, 128) array (fields/bitsliced.py);
+  - interpolation folds: height-2 subfield chunk multiplies (core.cu:45-48);
+  - reductions: XOR tree over the batch axis — replaces the reference's
+    per-thread partials + atomicXor (kernels.cuh:86-101); XOR is associative
+    and commutative so the result is identical and deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import bitsliced as bf
+from ..layout.bitslicing import (
+    bitslice_transpose,
+    bitslice_untranspose,
+    repeat_value_bitsliced,
+)
+
+__all__ = ["Sumcheck"]
+
+TOWER_HEIGHT = 7
+INTERPOLATION_TOWER_HEIGHT = 2
+BITS_WIDTH = 1 << TOWER_HEIGHT          # 128 bit-planes per batch
+INTS_PER_VALUE = BITS_WIDTH // 32       # 4 words per value
+
+
+def _compute_sum(batch: np.ndarray, count: int) -> np.ndarray:
+    """XOR the first `count` values of a bit-sliced batch into 4 words.
+
+    cf. compute_sum (sumcheck/core/core.cu:84-96).
+    """
+    words = np.asarray(bitslice_untranspose(batch))
+    take = min(BITS_WIDTH, INTS_PER_VALUE * count)
+    out = np.zeros(INTS_PER_VALUE, dtype=np.uint32)
+    for i in range(take):
+        out[i % INTS_PER_VALUE] ^= words[i]
+    return out
+
+
+@partial(jax.jit, static_argnames=("composition_size", "num_points"))
+def _round_kernel(evals, coeffs, *, composition_size: int, num_points: int):
+    """Fused round computation; cf. compute_compositions (kernels.cuh:5-102).
+
+    evals: (C, B, 128) bit-sliced; coeffs: (num_points, 128).
+    Returns (sum_batch (128,), point_batches (num_points, 128)).
+    """
+    del composition_size  # implied by evals.shape[0]
+
+    def composition(cols):  # cols: (C, rows, 128) -> (rows, 128)
+        prod = cols[0]
+        for c in range(1, cols.shape[0]):
+            prod = bf.multiply(prod, cols[c], TOWER_HEIGHT)
+        return prod
+
+    def xor_reduce(x, axis):
+        return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (axis,))
+
+    sum_batch = xor_reduce(composition(evals), 0)
+
+    half = evals.shape[1] // 2
+    lower = evals[:, :half]
+    upper = evals[:, half:]
+    xor_halves = lower ^ upper
+
+    points = []
+    for p in range(num_points):
+        # fold at the interpolation point: height-2 subfield chunk multiply
+        # against the coefficient batch's first 4 planes (core.cu:45-48)
+        prod = bf.mul_subfield_chunks(
+            xor_halves, coeffs[p, :1 << INTERPOLATION_TOWER_HEIGHT],
+            TOWER_HEIGHT, INTERPOLATION_TOWER_HEIGHT,
+        )
+        folded = lower ^ prod
+        points.append(xor_reduce(composition(folded), 0))
+    return sum_batch, jnp.stack(points)
+
+
+@jax.jit
+def _fold_kernel(evals, coeff):
+    """Random-challenge fold: full height-7 multiply (core.cu:49-55).
+
+    evals: (C, B, 128) -> (C, B//2, 128).
+    """
+    half = evals.shape[1] // 2
+    lower = evals[:, :half]
+    upper = evals[:, half:]
+    return lower ^ bf.multiply(lower ^ upper, coeff, TOWER_HEIGHT)
+
+
+@jax.jit
+def _transpose_kernel(evals):
+    return bitslice_transpose(evals)
+
+
+def _fold_small(src: np.ndarray, coeff: np.ndarray, list_len: int) -> np.ndarray:
+    """Intra-batch fold on (C, 128) host state; cf. fold_small (core.cu:58-82)."""
+    half = list_len // 2
+    b = (src >> np.uint32(half)) ^ src
+    prod = np.asarray(bf.multiply(jnp.asarray(b), jnp.asarray(coeff), TOWER_HEIGHT))
+    return src ^ prod
+
+
+class Sumcheck:
+    """Bit-sliced GF(2^128) sumcheck prover.
+
+    Parameters
+    ----------
+    evals : flat uint32 array of INTS_PER_VALUE * 2^num_vars * composition_size
+        words — composition_size concatenated multilinear columns, each
+        column 2^num_vars evaluations grouped in 32-element batches
+        (element-major little-endian unless `data_is_transposed`).
+    data_is_transposed : if True the batches are already bit-sliced
+        (the DATA_IS_TRANSPOSED=true template config, sumcheck.cuh:10).
+    """
+
+    def __init__(self, evals, composition_size: int, num_vars: int,
+                 data_is_transposed: bool = False):
+        if num_vars < 6:
+            raise ValueError("num_vars must be >= 6 (at least two batches)")
+        if composition_size < 2:
+            raise ValueError("composition_size must be >= 2")
+        self.num_vars = num_vars
+        self.composition_size = composition_size
+        self.num_points = composition_size + 1
+        self.round = 0
+
+        b = (1 << num_vars) // 32
+        evals = np.ascontiguousarray(np.asarray(evals, dtype=np.uint32))
+        assert evals.size == INTS_PER_VALUE * (1 << num_vars) * composition_size
+        arr = jnp.asarray(evals.reshape(composition_size, b, BITS_WIDTH))
+        if not data_is_transposed:
+            arr = _transpose_kernel(arr)
+        self._device_evals = arr            # (C, B', 128) while B' >= 2
+        self._host_evals = None             # (C, 128) once 32 evals remain
+
+        # interpolation-point coefficient batches (sumcheck.cuh:103-121)
+        self._coeffs_np = np.stack([
+            repeat_value_bitsliced(
+                np.array([p, 0, 0, 0], dtype=np.uint32), BITS_WIDTH)
+            for p in range(self.num_points)
+        ])
+        self._coeffs = jnp.asarray(self._coeffs_np)
+
+    @classmethod
+    def _from_state(cls, device_evals, composition_size: int, num_vars: int,
+                    round_: int):
+        """Resume from mid-protocol device state (C, B', 128) — used by the
+        sharded prover to hand off its gathered tail."""
+        self = cls.__new__(cls)
+        self.num_vars = num_vars
+        self.composition_size = composition_size
+        self.num_points = composition_size + 1
+        self.round = round_
+        self._coeffs_np = np.stack([
+            repeat_value_bitsliced(
+                np.array([p, 0, 0, 0], dtype=np.uint32), BITS_WIDTH)
+            for p in range(self.num_points)
+        ])
+        self._coeffs = jnp.asarray(self._coeffs_np)
+        if device_evals.shape[1] == 1:
+            self._device_evals = None
+            self._host_evals = np.asarray(device_evals[:, 0, :])
+        else:
+            self._device_evals = device_evals
+            self._host_evals = None
+        return self
+
+    @property
+    def _num_evals(self) -> int:
+        return (1 << self.num_vars) >> self.round
+
+    def round_messages(self):
+        """Returns (sum, points): sum (4,) uint32 words; points (P, 4)."""
+        num = self._num_evals
+        if num > 32:
+            sum_batch, point_batches = _round_kernel(
+                self._device_evals, self._coeffs,
+                composition_size=self.composition_size,
+                num_points=self.num_points,
+            )
+            sum_batch = np.asarray(sum_batch)
+            point_batches = np.asarray(point_batches)
+            # GPU path always sums all 32 lanes (sumcheck.cuh:238-243)
+            s = _compute_sum(sum_batch, 32)
+            pts = np.stack([_compute_sum(point_batches[p], 32)
+                            for p in range(self.num_points)])
+            return s, pts
+
+        # host tail path (sumcheck.cuh:160-195)
+        cols = self._host_evals  # (C, 128)
+        prod = np.asarray(_host_composition(cols))
+        s = _compute_sum(prod, num)
+        pts = []
+        for p in range(self.num_points):
+            folded = _fold_small(cols, self._coeffs_np[p], num)
+            pts.append(_compute_sum(np.asarray(_host_composition(folded)), num // 2))
+        return s, np.stack(pts)
+
+    def move_to_next_round(self, challenge):
+        """Fold every column at the (random) challenge; cf. sumcheck.cuh:248-300.
+
+        challenge: 4 uint32 words (little-endian 128-bit value).
+        """
+        challenge = np.asarray(challenge, dtype=np.uint32).reshape(INTS_PER_VALUE)
+        coeff = repeat_value_bitsliced(challenge, BITS_WIDTH)
+        num = self._num_evals
+
+        if num > 32:
+            self._device_evals = _fold_kernel(self._device_evals, jnp.asarray(coeff))
+            if num // 2 == 32:
+                # migrate to the host for the tail (sumcheck.cuh:283-297)
+                self._host_evals = np.asarray(self._device_evals[:, 0, :])
+                self._device_evals = None
+        else:
+            self._host_evals = _fold_small(self._host_evals, coeff, num)
+
+        self.round += 1
+
+
+def _host_composition(cols: np.ndarray):
+    prod = jnp.asarray(cols[0])
+    for c in range(1, cols.shape[0]):
+        prod = bf.multiply(prod, jnp.asarray(cols[c]), TOWER_HEIGHT)
+    return prod
