@@ -1,0 +1,171 @@
+"""Multi-chip bit-sliced GF(2^128) additive NTT over a 1-D mesh.
+
+Combines parallel/ntt_sharded.py's stage decomposition (cross-device stages
+exchange whole shards via ppermute; the re-tiling seam of the reference's
+stage-group kernels, src/ulvt/ntt/additive_ntt.cuh:222-247) with
+ntt/additive_bitsliced.py's bit-sliced butterflies.  This is the BASELINE
+config-5 pipeline: 2^28-point transforms over GF(2^128) sharded past one
+chip's HBM.
+
+Sharding: the batch axis (n/32 bit-sliced batches) is block-sharded; device d
+holds batches [d*Sb, (d+1)*Sb).  For stage s (pair distance 2^(s-5) batches):
+  * 2^(s-5) >= Sb: partners live on device d XOR 2^(s-5)/Sb — one ppermute,
+    each side computes its half of the butterfly; the twiddle is a single
+    128-bit value per (coset, device) bit-broadcast into planes;
+  * 2^(s-5) < Sb: shard-local, identical to the single-chip stage with the
+    group index offset by d * local_groups;
+  * s < 5: always local (in-batch lane butterflies).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+from ..fields import bitsliced as bf
+from ..layout.bitslicing import bitslice_transpose
+from ..ntt.additive import precompute_subspace_evals
+from ..ntt.additive_bitsliced import (
+    HEIGHT,
+    IPV,
+    W,
+    _LANE_MASKS,
+    _expand_bits,
+    _stage_twiddles_multiword,
+)
+from .mesh import AXIS
+
+__all__ = ["ShardedAdditiveNTT128"]
+
+
+class ShardedAdditiveNTT128:
+    def __init__(self, log_h: int, log_rate: int, mesh):
+        self.log_h = log_h
+        self.log_rate = log_rate
+        self.mesh = mesh
+        n_dev = int(mesh.devices.size)
+        self.log_d = int(np.log2(n_dev))
+        assert 1 << self.log_d == n_dev
+        nb = (1 << log_h) // 32
+        assert nb >= 2 * n_dev, "need >= 2 batches per device"
+
+        rows = precompute_subspace_evals(log_h, log_rate, HEIGHT)
+        high_tables = {}
+        low_batch_tables = {}
+        low_lane_planes = {}
+        for s in range(log_h):
+            bits = log_h + log_rate - 1 - s
+            if s >= 5:
+                high_tables[s] = jnp.asarray(
+                    _stage_twiddles_multiword(rows[s], bits))
+            else:
+                lane_bits = min(4 - s, bits)
+                lane_vals = np.zeros((32, IPV), dtype=np.uint32)
+                for j in range(32):
+                    v = 0
+                    jj = j >> (s + 1)
+                    for m in range(lane_bits):
+                        if (jj >> m) & 1:
+                            v ^= rows[s][m]
+                    for i in range(IPV):
+                        lane_vals[j, i] = (v >> (32 * i)) & 0xFFFFFFFF
+                low_lane_planes[s] = jnp.asarray(
+                    bitslice_transpose(lane_vals.reshape(W)))
+                low_batch_tables[s] = jnp.asarray(
+                    _stage_twiddles_multiword(
+                        rows[s][lane_bits:], bits - lane_bits))
+        self._tables = (high_tables, low_batch_tables, low_lane_planes)
+
+        self._data_sharding = NamedSharding(mesh, Pspec(None, AXIS, None))
+        self._apply = jax.jit(jax.shard_map(
+            partial(_sharded_apply128, log_h=log_h, log_rate=log_rate,
+                    log_d=self.log_d),
+            mesh=mesh,
+            in_specs=(Pspec(None, AXIS, None), Pspec(), Pspec(), Pspec()),
+            out_specs=Pspec(None, AXIS, None),
+        ))
+
+    def apply_sliced(self, data):
+        """data: (2^log_h/32, 128) bit-sliced (replicated or host) input.
+
+        Returns (cosets * nb, 128) bit-sliced output, batch axis sharded.
+        """
+        cosets = 1 << self.log_rate
+        nb = (1 << self.log_h) // 32
+        x = jnp.broadcast_to(jnp.asarray(data)[None], (cosets, nb, W))
+        x = jax.device_put(x, self._data_sharding)
+        high, lowb, lowl = self._tables
+        out = self._apply(x, _dict_to_tuple(high), _dict_to_tuple(lowb),
+                          _dict_to_tuple(lowl))
+        return out.reshape(cosets * nb, W)
+
+
+def _dict_to_tuple(d):
+    return tuple(d[k] for k in sorted(d))
+
+
+def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
+                      log_h: int, log_rate: int, log_d: int):
+    """Per-device body. x: (C, Sb, 128) local batches."""
+    n = 1 << log_h
+    nb = n // 32
+    cosets = 1 << log_rate
+    n_dev = 1 << log_d
+    sb = nb // n_dev
+    d = jax.lax.axis_index(AXIS)
+    coset_ids = jnp.arange(cosets, dtype=jnp.uint32)
+
+    high = {s: t for s, t in zip(sorted(range(5, log_h)), high_tables)}
+    lowb = {s: t for s, t in zip(range(min(log_h, 5)), low_batch_tables)}
+    lowl = {s: t for s, t in zip(range(min(log_h, 5)), low_lane_planes)}
+
+    # ---- high stages ----
+    for s in range(log_h - 1, 4, -1):
+        db = 1 << (s - 5)
+        if db >= sb:
+            # cross-device: partner shard exchange
+            bit = int(np.log2(db // sb))
+            mask = 1 << bit
+            perm = [(i, i ^ mask) for i in range(n_dev)]
+            recv = jax.lax.ppermute(x, AXIS, perm)
+            block = (d >> (bit + 1)).astype(jnp.uint32)
+            ind = (coset_ids << (log_h - 1 - s)) | block
+            w4 = high[s][ind]                       # (C, 4)
+            wp = _expand_bits(w4)[:, None, :]       # (C, 1, 128)
+            i_am_v = ((d >> bit) & 1).astype(bool)
+            u_new = x ^ bf.multiply(wp, recv, HEIGHT)
+            v_new = (recv ^ bf.multiply(wp, x, HEIGHT)) ^ x
+            x = jnp.where(i_am_v, v_new, u_new)
+        else:
+            groups_local = sb // (2 * db)
+            grp_global = d * groups_local + jnp.arange(
+                groups_local, dtype=jnp.uint32)
+            idx = (coset_ids[:, None] << (log_h - 1 - s)) | grp_global[None, :]
+            w4 = high[s][idx]                       # (C, G, 4)
+            wp = _expand_bits(w4)[:, :, None, :]
+            v5 = x.reshape(cosets, groups_local, 2, db, W)
+            u, v = v5[:, :, 0], v5[:, :, 1]
+            u2 = u ^ bf.multiply(wp, v, HEIGHT)
+            v2 = u2 ^ v
+            x = jnp.stack([u2, v2], axis=2).reshape(cosets, sb, W)
+
+    # ---- low stages (always local) ----
+    for s in range(min(log_h - 1, 4), -1, -1):
+        lane_bits = min(4 - s, log_h + log_rate - 1 - s)
+        k_global = d * sb + jnp.arange(sb, dtype=jnp.uint32)
+        idx = ((coset_ids[:, None] << (log_h - 1 - s)) >> lane_bits) | \
+            k_global[None, :]
+        a4 = lowb[s][idx]
+        wp = _expand_bits(a4) ^ lowl[s][None, None, :]
+        shift = 1 << s
+        umask = jnp.uint32(_LANE_MASKS[s])
+        vmask = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
+        v_at_u = x >> shift
+        un = x ^ bf.multiply(wp, v_at_u, HEIGHT)
+        x = (un & umask) | ((x ^ (un << shift)) & vmask)
+
+    return x

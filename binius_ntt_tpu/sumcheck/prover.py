@@ -44,6 +44,7 @@ __all__ = ["Sumcheck"]
 TOWER_HEIGHT = 7
 INTERPOLATION_TOWER_HEIGHT = 2
 BITS_WIDTH = 1 << TOWER_HEIGHT          # 128 bit-planes per batch
+W = BITS_WIDTH
 INTS_PER_VALUE = BITS_WIDTH // 32       # 4 words per value
 
 
@@ -58,6 +59,97 @@ def _compute_sum(batch: np.ndarray, count: int) -> np.ndarray:
     for i in range(take):
         out[i % INTS_PER_VALUE] ^= words[i]
     return out
+
+
+def _composition(cols):
+    """Product of the column batches; cf. evaluate_composition_on_batch_row
+    (core.cu:9-23).  cols: (C, ..., 128) -> (..., 128)."""
+    prod = cols[0]
+    for c in range(1, cols.shape[0]):
+        prod = bf.multiply(prod, cols[c], TOWER_HEIGHT)
+    return prod
+
+
+def _xor_reduce(x, axis=0):
+    return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (axis,))
+
+
+# Row-tile size for the fixed-shape kernels: one compile serves every round
+# (the TPU analogue of the reference's grid-stride loop, kernels.cuh:25).
+ROW_TILE = 256
+
+
+@partial(jax.jit, static_argnames=("num_points",), donate_argnums=())
+def _round_kernel_tiled(evals, coeffs, num_rows, *, num_points: int):
+    """Fused round over the first `num_rows` rows of a fixed-size buffer.
+
+    evals: (C, B, 128) with only [0, num_rows) live; num_rows: traced scalar.
+    Returns (1 + num_points, 128): [sum_batch, point_batches...].
+    One compiled program serves all rounds (num_rows halves each round).
+    """
+    c, b, _ = evals.shape
+    tile = min(ROW_TILE, b // 2)
+    half = num_rows // 2
+    tiles = (half + tile - 1) // tile
+
+    def masked(t, base, limit):
+        # zero rows at global index >= limit (XOR identity)
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        return jnp.where(idx < limit, t, jnp.uint32(0))
+
+    def body(state):
+        i, acc = state
+        base = i * tile
+        lower = jax.lax.dynamic_slice(evals, (0, base, 0), (c, tile, W))
+        upper = jax.lax.dynamic_slice(
+            evals, (0, base + half, 0), (c, tile, W))
+        lower = masked(lower, base, half)
+        upper = masked(upper, base, half)
+        # total sum gets contributions from both halves
+        sum_part = _xor_reduce(_composition(lower) ^ _composition(upper))
+        parts = [sum_part]
+        xh = lower ^ upper
+        for p in range(num_points):
+            prod = bf.mul_subfield_chunks(
+                xh, coeffs[p, : 1 << INTERPOLATION_TOWER_HEIGHT],
+                TOWER_HEIGHT, INTERPOLATION_TOWER_HEIGHT)
+            parts.append(_xor_reduce(_composition(lower ^ prod)))
+        return i + jnp.int32(1), acc ^ jnp.stack(parts)
+
+    init = (jnp.int32(0), jnp.zeros((1 + num_points, W), jnp.uint32))
+    _, acc = jax.lax.while_loop(lambda s: s[0] < tiles, body, init)
+    return acc
+
+
+@jax.jit
+def _fold_kernel_tiled(evals, coeff, num_rows):
+    """Fold rows [0, num_rows) in half inside the fixed-size buffer.
+
+    Returns the buffer with [0, num_rows//2) updated; the stale upper region
+    is never read again (mirrors the reference folding in place at original
+    column stride, kernels.cu:20-28).
+    """
+    c, b, _ = evals.shape
+    tile = min(ROW_TILE, b // 2)
+    half = num_rows // 2
+    tiles = (half + tile - 1) // tile
+
+    def body(state):
+        i, buf = state
+        base = i * tile
+        lower = jax.lax.dynamic_slice(evals, (0, base, 0), (c, tile, W))
+        upper = jax.lax.dynamic_slice(
+            evals, (0, base + half, 0), (c, tile, W))
+        folded = lower ^ bf.multiply(lower ^ upper, coeff, TOWER_HEIGHT)
+        # rows beyond `half` must keep their old content (partial last tile)
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        folded = jnp.where(idx < half, folded, lower)
+        buf = jax.lax.dynamic_update_slice(buf, folded, (0, base, 0))
+        return i + jnp.int32(1), buf
+
+    init = (jnp.int32(0), evals)
+    _, buf = jax.lax.while_loop(lambda s: s[0] < tiles, body, init)
+    return buf
 
 
 @partial(jax.jit, static_argnames=("composition_size", "num_points"))
@@ -164,6 +256,38 @@ class Sumcheck:
         ])
         self._coeffs = jnp.asarray(self._coeffs_np)
 
+    # ---- checkpoint / resume -------------------------------------------
+    # The complete protocol state is (round, folded evaluations) — the
+    # reference keeps exactly this implicitly (sumcheck.cuh:25-29); here it
+    # is an explicit serialisable dict so long multi-host runs can resume.
+
+    def state_dict(self) -> dict:
+        num = self._num_evals
+        live = None
+        if self._device_evals is not None:
+            live = np.asarray(self._device_evals[:, : num // 32, :])
+        return {
+            "num_vars": self.num_vars,
+            "composition_size": self.composition_size,
+            "round": self.round,
+            "device_evals": live,
+            "host_evals": None if self._host_evals is None
+            else np.asarray(self._host_evals),
+        }
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "Sumcheck":
+        if d["device_evals"] is not None:
+            state = jnp.asarray(d["device_evals"])
+        else:
+            state = jnp.asarray(d["host_evals"])[:, None, :]
+        self = cls._from_state(
+            state, d["composition_size"], d["num_vars"], d["round"])
+        if d["device_evals"] is None:
+            self._device_evals = None
+            self._host_evals = np.asarray(d["host_evals"])
+        return self
+
     @classmethod
     def _from_state(cls, device_evals, composition_size: int, num_vars: int,
                     round_: int):
@@ -196,13 +320,12 @@ class Sumcheck:
         """Returns (sum, points): sum (4,) uint32 words; points (P, 4)."""
         num = self._num_evals
         if num > 32:
-            sum_batch, point_batches = _round_kernel(
-                self._device_evals, self._coeffs,
-                composition_size=self.composition_size,
+            parts = np.asarray(_round_kernel_tiled(
+                self._device_evals, self._coeffs, jnp.int32(num // 32),
                 num_points=self.num_points,
-            )
-            sum_batch = np.asarray(sum_batch)
-            point_batches = np.asarray(point_batches)
+            ))
+            sum_batch = parts[0]
+            point_batches = parts[1:]
             # GPU path always sums all 32 lanes (sumcheck.cuh:238-243)
             s = _compute_sum(sum_batch, 32)
             pts = np.stack([_compute_sum(point_batches[p], 32)
@@ -229,7 +352,8 @@ class Sumcheck:
         num = self._num_evals
 
         if num > 32:
-            self._device_evals = _fold_kernel(self._device_evals, jnp.asarray(coeff))
+            self._device_evals = _fold_kernel_tiled(
+                self._device_evals, jnp.asarray(coeff), jnp.int32(num // 32))
             if num // 2 == 32:
                 # migrate to the host for the tail (sumcheck.cuh:283-297)
                 self._host_evals = np.asarray(self._device_evals[:, 0, :])
