@@ -142,13 +142,16 @@ def _apply128(data, high_tables, low_batch_tables, low_lane_planes, *,
     x = jnp.broadcast_to(data[None], (cosets, nb, W))
     coset_ids = jnp.arange(cosets, dtype=jnp.uint32)
 
+    del coset_ids
     for s in range(log_h - 1, 4, -1):
         db = 1 << (s - 5)                     # pair distance in batches
         groups = nb // (2 * db)
-        # indicator = coset << (log_h-1-s) | group
-        idx = (coset_ids[:, None] << (log_h - 1 - s)) | jnp.arange(
-            groups, dtype=jnp.uint32)[None, :]
-        w4 = high_tables[s][idx]              # (C, G, 4)
+        # indicator = coset << (log_h-1-s) | group, and the doubling table is
+        # already in indicator order — a reshape, NOT a gather (gathers are
+        # row-at-a-time on TPU; this was the 2^24 bench bottleneck)
+        w4 = high_tables[s].reshape(-1, groups, IPV)[:cosets]
+        if log_h - 1 - s < 0 or high_tables[s].shape[0] != cosets * groups:
+            raise AssertionError("twiddle table layout mismatch")
         wp = _expand_bits(w4)[:, :, None, :]  # (C, G, 1, 128)
 
         v5 = x.reshape(cosets, groups, 2, db, W)
@@ -158,12 +161,9 @@ def _apply128(data, high_tables, low_batch_tables, low_lane_planes, *,
         x = jnp.stack([u2, v2], axis=2).reshape(cosets, nb, W)
 
     for s in range(min(log_h - 1, 4), -1, -1):
-        lane_bits = min(4 - s, log_h + log_rate - 1 - s)
-        batch_bits_tbl = low_batch_tables[s]
-        # batch part of the indicator: coset<<(log_h-1-s-lane_bits) | k
-        idx = (coset_ids[:, None] << (log_h - 1 - s)) >> lane_bits
-        idx = idx | jnp.arange(nb, dtype=jnp.uint32)[None, :]
-        a4 = batch_bits_tbl[idx]              # (C, nb, 4)
+        # batch part of the indicator: coset<<(log_h-1-s-lane_bits) | k with
+        # k = 0..nb-1 contiguous — again a reshape of the doubling table
+        a4 = low_batch_tables[s].reshape(-1, nb, IPV)[:cosets]
         wp = _expand_bits(a4) ^ low_lane_planes[s][None, None, :]
 
         shift = 1 << s
