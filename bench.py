@@ -22,17 +22,14 @@ BASELINE_BUTTERFLIES_PER_S = 1.0e8
 
 
 def _timeit(fn, iters=5):
-    import jax
+    """Readback-forced timing (block_until_ready is unreliable through the
+    remote-PJRT tunnel; see utils/benchlib.py)."""
+    from binius_ntt_tpu.utils.benchlib import device_time, _force
 
     t0 = time.time()
-    jax.block_until_ready(fn())
+    _force(fn())
     compile_s = time.time() - t0
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        jax.block_until_ready(fn())
-        times.append(time.time() - t0)
-    return min(times), compile_s
+    return device_time(lambda: fn(), reps=max(iters, 4)), compile_s
 
 
 def bench_ntt128(log_h: int, log_rate: int = 0):
@@ -73,18 +70,21 @@ def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
     """Steady-state time of one full device round (messages + fold)."""
     import jax
 
+    import jax.numpy as jnp
+
     from binius_ntt_tpu.sumcheck.prover import (
-        INTS_PER_VALUE, Sumcheck, _fold_kernel, _round_kernel)
+        INTS_PER_VALUE, Sumcheck, _fold_kernel_tiled, _round_kernel_tiled)
     from binius_ntt_tpu.utils.mt19937 import mt19937_stream
 
     evals = mt19937_stream(7, INTS_PER_VALUE * (1 << num_vars) * comp)
     s = Sumcheck(evals, comp, num_vars)
     coeff = s._coeffs[1]
+    rows = jnp.int32((1 << num_vars) // 32)
 
     def step():
-        r = _round_kernel(s._device_evals, s._coeffs,
-                          composition_size=comp, num_points=comp + 1)
-        f = _fold_kernel(s._device_evals, coeff)
+        r = _round_kernel_tiled(s._device_evals, s._coeffs, rows,
+                                num_points=comp + 1)
+        f = _fold_kernel_tiled(s._device_evals, coeff, rows)
         return r, f
 
     best, _ = _timeit(step, iters=3)

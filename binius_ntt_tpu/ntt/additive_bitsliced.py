@@ -67,9 +67,16 @@ def _expand_bits(w4):
 
 
 class AdditiveNTT128:
-    """Additive NTT over GF(2^128), bit-sliced layout, one device."""
+    """Additive NTT over GF(2^128), bit-sliced layout, one device.
 
-    def __init__(self, log_h: int, log_rate: int = 0):
+    ``use_pallas=True`` (default on TPU) runs every butterfly stage as a
+    Pallas kernel with the straight-line multiply resident in VMEM — ~40x
+    faster than the XLA elementwise path, which materialises the stacked
+    Karatsuba levels in HBM (see ntt/pallas_kernels.py).
+    """
+
+    def __init__(self, log_h: int, log_rate: int = 0,
+                 use_pallas: bool | None = None):
         if not log_h >= 5:
             raise ValueError("log_h must be >= 5 (at least one 32-elem batch)")
         if not 0 <= log_rate <= 4:
@@ -110,8 +117,12 @@ class AdditiveNTT128:
         self._low_batch_tables = low_batch_tables
         self._low_lane_planes = low_lane_planes
 
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
         self._apply_sliced = jax.jit(partial(
-            _apply128, log_h=log_h, log_rate=log_rate))
+            _apply128, log_h=log_h, log_rate=log_rate,
+            use_pallas=use_pallas))
 
     def apply_sliced(self, data):
         """data: (2^log_h/32, 128) bit-sliced IN_ORDER input.
@@ -134,15 +145,13 @@ class AdditiveNTT128:
 
 
 def _apply128(data, high_tables, low_batch_tables, low_lane_planes, *,
-              log_h: int, log_rate: int):
+              log_h: int, log_rate: int, use_pallas: bool = False):
     n = 1 << log_h
     nb = n // 32
     cosets = 1 << log_rate
     # replicate input per coset row: (C, nb, 128)
     x = jnp.broadcast_to(data[None], (cosets, nb, W))
-    coset_ids = jnp.arange(cosets, dtype=jnp.uint32)
 
-    del coset_ids
     for s in range(log_h - 1, 4, -1):
         db = 1 << (s - 5)                     # pair distance in batches
         groups = nb // (2 * db)
@@ -152,26 +161,40 @@ def _apply128(data, high_tables, low_batch_tables, low_lane_planes, *,
         w4 = high_tables[s].reshape(-1, groups, IPV)[:cosets]
         if log_h - 1 - s < 0 or high_tables[s].shape[0] != cosets * groups:
             raise AssertionError("twiddle table layout mismatch")
-        wp = _expand_bits(w4)[:, :, None, :]  # (C, G, 1, 128)
 
-        v5 = x.reshape(cosets, groups, 2, db, W)
-        u, v = v5[:, :, 0], v5[:, :, 1]
-        u2 = u ^ bf.multiply(wp, v, HEIGHT)
-        v2 = u2 ^ v
-        x = jnp.stack([u2, v2], axis=2).reshape(cosets, nb, W)
+        if use_pallas:
+            from . import pallas_kernels as pk
+
+            wp4 = _expand_bits(w4).reshape(cosets * groups, 1, W)
+            x5 = x.reshape(cosets * groups, 2, db, W)
+            x = pk.butterfly_high(x5, wp4).reshape(cosets, nb, W)
+        else:
+            wp = _expand_bits(w4)[:, :, None, :]  # (C, G, 1, 128)
+            v5 = x.reshape(cosets, groups, 2, db, W)
+            u, v = v5[:, :, 0], v5[:, :, 1]
+            u2 = u ^ bf.multiply(wp, v, HEIGHT)
+            v2 = u2 ^ v
+            x = jnp.stack([u2, v2], axis=2).reshape(cosets, nb, W)
 
     for s in range(min(log_h - 1, 4), -1, -1):
         # batch part of the indicator: coset<<(log_h-1-s-lane_bits) | k with
         # k = 0..nb-1 contiguous — again a reshape of the doubling table
         a4 = low_batch_tables[s].reshape(-1, nb, IPV)[:cosets]
-        wp = _expand_bits(a4) ^ low_lane_planes[s][None, None, :]
 
-        shift = 1 << s
-        umask = jnp.uint32(_LANE_MASKS[s])
-        vmask = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
-        v_at_u = x >> shift
-        un = x ^ bf.multiply(wp, v_at_u, HEIGHT)
-        out = (un & umask) | ((x ^ (un << shift)) & vmask)
-        x = out
+        if use_pallas:
+            from . import pallas_kernels as pk
+
+            wp = (_expand_bits(a4) ^ low_lane_planes[s][None, None, :])
+            x = pk.butterfly_low(
+                x.reshape(cosets * nb, W), wp.reshape(cosets * nb, W),
+                stage=s,
+            ).reshape(cosets, nb, W)
+        else:
+            wp = _expand_bits(a4) ^ low_lane_planes[s][None, None, :]
+            shift = 1 << s
+            umask = jnp.uint32(_LANE_MASKS[s])
+            vmask = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
+            un = x ^ bf.multiply(wp, x >> shift, HEIGHT)
+            x = (un & umask) | ((x ^ (un << shift)) & vmask)
 
     return x.reshape(cosets * nb, W)

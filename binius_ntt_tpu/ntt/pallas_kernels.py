@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 HEIGHT = 7
 W = 128
-TB = 256  # batch rows per tile: 256 x 128 x 4B = 128 KB per operand
+TB = 1024  # batch rows per tile: full 8x128 VPU rows per plane op
 
 _LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
 
@@ -128,58 +128,50 @@ def _mul_vmem(a, b, height: int = HEIGHT):
     return z.reshape(w, tb).T
 
 
-def _expand_w4(w4):
-    """(4,) compact words -> (1, 128) all-ones/zeros planes (in VMEM)."""
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (4, 32), 1)
-    bits = (w4[:, None] >> shifts) & jnp.uint32(1)
-    return (jnp.uint32(0) - bits).reshape(1, W)
+def butterfly_high(x, wp, *, interpret: bool = False):
+    """One high stage, fused: x (G, 2, db, 128) pairs in one array.
 
-
-def _butterfly_high_kernel(w4_ref, u_ref, v_ref, u_out, v_out):
-    wp = _expand_w4(w4_ref[0])
-    u = u_ref[:]
-    v = v_ref[:]
-    u2 = u ^ _mul_vmem(jnp.broadcast_to(wp, v.shape), v)
-    u_out[:] = u2
-    v_out[:] = u2 ^ v
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def butterfly_high(u, v, w4, *, interpret: bool = False):
-    """One high stage over paired batch tiles.
-
-    u, v: (G, db, 128) — the two halves of each pair group;
-    w4: (G, 4) compact twiddles.  Returns (u2, v2) with the same shapes.
+    wp: (G, 1, 128) bit-plane-expanded twiddles (one per group).
+    Writes u' = u ^ w*v into [:, 0] and v' = u' ^ v into [:, 1].
+    Tiles adapt to the pair distance: large db tiles within one group,
+    small db packs TB//db groups per kernel instance.
     """
-    g, db, _ = u.shape
-    tb = min(TB, db)
-    grid = (g, db // tb)
-    bspec = pl.BlockSpec((1, tb, W), lambda i, j: (i, j, 0),
+    g, _, db, _ = x.shape
+    if db >= TB:
+        gb, tb = 1, TB
+    else:
+        gb, tb = min(TB // db, g), db
+    grid = (g // gb, db // tb)
+    bspec = pl.BlockSpec((gb, 2, tb, W), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((1, 4), lambda i, j: (i, 0),
+    wspec = pl.BlockSpec((gb, 1, W), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    def kern(w4_ref, u_ref, v_ref, u_out, v_out):
-        _butterfly_high_kernel(
-            w4_ref, u_ref.at[0], v_ref.at[0], u_out.at[0], v_out.at[0])
+    def kern(wp_ref, x_ref, out_ref):
+        ut = x_ref[:, 0].reshape(gb * tb, W)
+        vt = x_ref[:, 1].reshape(gb * tb, W)
+        wt = jnp.broadcast_to(wp_ref[:], (gb, tb, W)).reshape(gb * tb, W)
+        u2 = ut ^ _mul_vmem_sl(wt, vt)
+        out_ref[:, 0] = u2.reshape(gb, tb, W)
+        out_ref[:, 1] = (u2 ^ vt).reshape(gb, tb, W)
 
-    u2, v2 = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[wspec, bspec, bspec],
-        out_specs=(bspec, bspec),
-        out_shape=(jax.ShapeDtypeStruct(u.shape, u.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        in_specs=[wspec, bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(w4, u, v)
-    return u2, v2
+    )(wp, x)
 
 
-@functools.partial(jax.jit, static_argnames=("stage", "interpret"))
-def butterfly_low(x, a4, lane_planes, *, stage: int, interpret: bool = False):
+def butterfly_low(x, wp, *, stage: int, interpret: bool = False):
     """One low stage (in-batch lane butterflies).
 
-    x: (nb, 128); a4: (nb, 4) batch-part twiddles; lane_planes: (128,).
+    x: (nb, 128); wp: (nb, 128) fully-expanded per-batch twiddle planes
+    (bit-broadcast of the batch part XOR the lane-part constant, expanded
+    outside the kernel — Mosaic rejects the in-kernel (tb//32,128)->(tb,4)
+    lane-to-sublane reshape).
     """
     nb, _ = x.shape
     tb = min(TB, nb)
@@ -187,33 +179,24 @@ def butterfly_low(x, a4, lane_planes, *, stage: int, interpret: bool = False):
     shift = 1 << stage
     umask = _LANE_MASKS[stage]
     vmask = (umask << shift) & 0xFFFFFFFF
+    bspec = pl.BlockSpec((tb, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    def kern(x_ref, a4_ref, lp_ref, out_ref):
+    def kern(x_ref, wp_ref, out_ref):
         xt = x_ref[:]
-        a4 = a4_ref[:]                       # (tb, 4)
-        shifts = jax.lax.broadcasted_iota(jnp.uint32, (4, 32), 1)
-        bits = (a4[:, :, None] >> shifts[None]) & jnp.uint32(1)
-        wp = (jnp.uint32(0) - bits).reshape(tb, W) ^ lp_ref[:][None, :]
-        un = xt ^ _mul_vmem(wp, xt >> shift)
+        un = xt ^ _mul_vmem_sl(wp_ref[:], xt >> shift)
         out_ref[:] = (un & jnp.uint32(umask)) | (
             (xt ^ (un << shift)) & jnp.uint32(vmask))
 
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tb, W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[bspec, bspec],
+        out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, a4, lane_planes)
+    )(x, wp)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def mul_tiles(a, b, *, interpret: bool = False):
     """Standalone bit-sliced multiply of (N, 128) arrays via VMEM tiles."""
     n, _ = a.shape
@@ -222,7 +205,7 @@ def mul_tiles(a, b, *, interpret: bool = False):
     bspec = pl.BlockSpec((tb, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def kern(a_ref, b_ref, out_ref):
-        out_ref[:] = _mul_vmem(a_ref[:], b_ref[:])
+        out_ref[:] = _mul_vmem_sl(a_ref[:], b_ref[:])
 
     return pl.pallas_call(
         kern, grid=grid, in_specs=[bspec, bspec], out_specs=bspec,

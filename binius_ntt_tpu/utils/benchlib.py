@@ -1,0 +1,45 @@
+"""Device timing that survives unreliable block_until_ready.
+
+Through remote-PJRT tunnels, ``block_until_ready`` has been observed to
+return before execution completes, producing impossible timings.  The only
+trustworthy sync point is host materialisation of (a value derived from) the
+result.  ``device_time`` queues K executions on the in-order stream and
+forces one tiny readback at the end; the K-vs-1 difference removes both the
+readback round-trip and any constant dispatch overhead.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+__all__ = ["device_time"]
+
+
+def _force(result) -> None:
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(result)[0]
+    np.asarray(leaf.ravel()[:8])
+
+
+def device_time(fn, *args, reps: int = 8, trials: int = 3) -> float:
+    """Median-of-trials steady-state seconds per call of fn(*args)."""
+    _force(fn(*args))  # compile + warm
+
+    def run(k: int) -> float:
+        t0 = time.time()
+        r = None
+        for _ in range(k):
+            r = fn(*args)
+        _force(r)
+        return time.time() - t0
+
+    ests = []
+    for _ in range(trials):
+        t1 = run(1)
+        tk = run(reps)
+        ests.append((tk - t1) / (reps - 1))
+    ests.sort()
+    return max(ests[len(ests) // 2], 1e-9)
