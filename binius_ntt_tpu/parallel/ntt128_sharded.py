@@ -136,9 +136,12 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
             ind = (coset_ids << (log_h - 1 - s)) | block
             w4 = high[s][ind]                       # (C, 4)
             wp = _expand_bits(w4)[:, None, :]       # (C, 1, 128)
+            from ..sumcheck.prover import _mul128
+
             i_am_v = ((d >> bit) & 1).astype(bool)
-            u_new = x ^ bf.multiply(wp, recv, HEIGHT)
-            v_new = (recv ^ bf.multiply(wp, x, HEIGHT)) ^ x
+            wpb = jnp.broadcast_to(wp, x.shape)
+            u_new = x ^ _mul128(wpb, recv)
+            v_new = (recv ^ _mul128(wpb, x)) ^ x
             x = jnp.where(i_am_v, v_new, u_new)
         else:
             groups_local = sb // (2 * db)
@@ -147,9 +150,11 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
             idx = (coset_ids[:, None] << (log_h - 1 - s)) | grp_global[None, :]
             w4 = high[s][idx]                       # (C, G, 4)
             wp = _expand_bits(w4)[:, :, None, :]
+            from ..sumcheck.prover import _mul128
+
             v5 = x.reshape(cosets, groups_local, 2, db, W)
             u, v = v5[:, :, 0], v5[:, :, 1]
-            u2 = u ^ bf.multiply(wp, v, HEIGHT)
+            u2 = u ^ _mul128(jnp.broadcast_to(wp, v.shape), v)
             v2 = u2 ^ v
             x = jnp.stack([u2, v2], axis=2).reshape(cosets, sb, W)
 
@@ -164,8 +169,10 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
         shift = 1 << s
         umask = jnp.uint32(_LANE_MASKS[s])
         vmask = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
+        from ..sumcheck.prover import _mul128
+
         v_at_u = x >> shift
-        un = x ^ bf.multiply(wp, v_at_u, HEIGHT)
+        un = x ^ _mul128(jnp.broadcast_to(wp, x.shape), v_at_u)
         x = (un & umask) | ((x ^ (un << shift)) & vmask)
 
     return x

@@ -46,11 +46,7 @@ def _xor_reduce(x, axis):
 
 def _local_round(evals, coeffs, *, num_points: int):
     """Per-device round body; evals: (C, B_loc, 128) local rows."""
-    def composition(cols):
-        prod = cols[0]
-        for c in range(1, cols.shape[0]):
-            prod = bf.multiply(prod, cols[c], TOWER_HEIGHT)
-        return prod
+    from ..sumcheck.prover import _composition as composition
 
     sum_part = _xor_reduce(composition(evals), 0)
     half = evals.shape[1] // 2
@@ -67,9 +63,12 @@ def _local_round(evals, coeffs, *, num_points: int):
 
 
 def _local_fold(evals, coeff):
+    from ..sumcheck.prover import _mul128
+
     half = evals.shape[1] // 2
     lower, upper = evals[:, :half], evals[:, half:]
-    return lower ^ bf.multiply(lower ^ upper, coeff, TOWER_HEIGHT)
+    xh = lower ^ upper
+    return lower ^ _mul128(xh, jnp.broadcast_to(coeff, xh.shape))
 
 
 class ShardedSumcheck:
