@@ -1,0 +1,281 @@
+"""Stage-group-fused Pallas kernel for the bit-sliced GF(2^128) additive NTT.
+
+The per-stage kernels in ntt/pallas_kernels.py read and write the whole
+array once per butterfly stage: at log_h=24 that is 24 x 2 x 256 MB of HBM
+traffic (plus expanded twiddle-plane arrays on the low stages).  This module
+is the TPU analogue of the reference's MAX_STAGES_PER_KERNEL stage-grouping
+(src/ulvt/ntt/additive_ntt.cuh:222-247, utils/common.cuh:32): a single
+pallas_call keeps a VMEM-resident tile across MANY stages, so the whole
+transform needs only ceil(log_h / group_size) HBM round-trips.
+
+Key idea — twiddles are free.  The reference computes each twiddle as an
+XOR-subset-sum of ``constants[stage][m]`` over the set bits of the
+butterfly-block indicator (calculate_twiddle, additive_ntt.cuh:59-77).
+That sum is GF(2)-linear in the indicator bits, so bit ``i`` of the twiddle
+is the *parity* of ``indicator & mask`` where
+``mask[i] = sum_m bit_i(constants[stage][m]) << m``.  Inside the kernel the
+indicator splits into a tile-local part (an iota over the tile axis) and a
+per-instance part (the grid index), each needing only a (stages, 128)
+uint32 mask array — the full twiddle bit-planes are regenerated in VMEM
+with ~6 vector ops per stage and never touch HBM.
+
+Stage grouping (batch index b has log_nb = log_h - 5 bits; stage s >= 5
+pairs batches across bit s-5; stages s < 5 are lane-local):
+
+  * bottom group: tile = 2^k consecutive batches -> covers high stages
+    s = k+4 .. 5 AND all 5 lane-local low stages in one pass;
+  * upper groups: tile = 2^k batches strided by 2^t0 (a (pre, 2^k, post)
+    reshape — no gather) -> covers stages t0+k+4 .. t0+5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _mul_vmem_sl
+
+HEIGHT = 7
+W = 128
+IPV = 4
+
+_LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
+
+# tile-size knobs: bottom tiles are (2^KB, 128) words; upper tiles are
+# (2^KU, PT, 128).  Sized so tile + ~510 live multiply planes fit VMEM.
+KB = 10
+KU = 9
+PT = 8
+
+
+def _bit_masks(constants, offset: int, count: int) -> np.ndarray:
+    """mask[i] = sum_m bit_i(constants[offset+m]) << m   (shape (128,))."""
+    out = np.zeros(W, dtype=np.uint32)
+    for m in range(count):
+        c = int(constants[offset + m])
+        for i in range(W):
+            if (c >> i) & 1:
+                out[i] |= np.uint32(1 << m)
+    return out
+
+
+def _parity_planes(idx, mask):
+    """Bit-planes of the XOR-subset-sum: 0xFFFFFFFF where parity(idx & mask).
+
+    idx: uint32 (..., 1); mask: uint32 (..., 128) -> (..., 128) planes.
+    """
+    x = idx & mask
+    x = x ^ (x >> 16)
+    x = x ^ (x >> 8)
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return jnp.uint32(0) - (x & jnp.uint32(1))
+
+
+def plan_groups(log_nb: int) -> list[tuple[int, int, bool]]:
+    """Split batch-index bits into (t0, k, include_low) groups, bottom-up."""
+    groups = []
+    kb = min(log_nb, KB)
+    groups.append((0, kb, True))
+    t0 = kb
+    while t0 < log_nb:
+        k = min(log_nb - t0, KU)
+        groups.append((t0, k, False))
+        t0 += k
+    return groups
+
+
+def make_group_tables(rows, log_h: int, log_rate: int, t0: int, k: int,
+                      include_low: bool):
+    """Mask tables for one stage group.
+
+    rows: precompute_subspace_evals(log_h, log_rate, 7) (python ints).
+    Returns (mtile, minst, lanes) numpy arrays; stage order matches the
+    kernel's execution order (high stages descending, then low 4..0).
+    mtile/minst: (n_stages, 128) uint32; lanes: (5, 128) or None.
+    """
+    log_nb = log_h - 5
+    pre_bits = log_nb - t0 - k
+    mtile, minst = [], []
+    # high stages s = 5+t0+k-1 .. 5+t0 (descending, DIT order)
+    for r in range(k - 1, -1, -1):
+        s = 5 + t0 + r
+        m0 = k - 1 - r           # tile bits in the butterfly-block index
+        nbits = log_h + log_rate - 1 - s
+        mtile.append(_bit_masks(rows[s], 0, min(m0, nbits)))
+        minst.append(_bit_masks(rows[s], m0, max(nbits - m0, 0)))
+    lanes = None
+    if include_low:
+        lane_list = []
+        for s in range(min(log_h - 1, 4), -1, -1):
+            nbits = log_h + log_rate - 1 - s
+            lane_bits = min(4 - s, nbits)
+            mtile.append(_bit_masks(rows[s], lane_bits,
+                                    min(k, nbits - lane_bits)))
+            minst.append(_bit_masks(rows[s], lane_bits + k,
+                                    max(nbits - lane_bits - k, 0)))
+            # 32 lane values -> 128 bit-planes (one uint32 each, lanes in bits)
+            vals = np.zeros(32, dtype=object)
+            for j in range(32):
+                v = 0
+                jj = j >> (s + 1)
+                for m in range(lane_bits):
+                    if (jj >> m) & 1:
+                        v ^= rows[s][m]
+                vals[j] = v
+            planes = np.zeros(W, dtype=np.uint32)
+            for i in range(W):
+                acc = 0
+                for j in range(32):
+                    acc |= ((int(vals[j]) >> i) & 1) << j
+                planes[i] = acc
+            lane_list.append(planes)
+        lanes = np.stack(lane_list)
+    return (np.stack(mtile), np.stack(minst), lanes)
+
+
+def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
+                include_low: bool):
+    """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32 scalar.
+
+    Pure jnp — called from the Pallas kernel AND (jitted directly) from the
+    CPU emulation used by the tests.
+    """
+    kk = 1 << k
+    jt = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+
+    st = 0
+    for r in range(k - 1, -1, -1):
+        blocks = 1 << (k - 1 - r)
+        span = 1 << r
+        wfull = (_parity_planes(jt >> (r + 1), mtile[st])
+                 ^ _parity_planes(q, minst[st])[None, :])
+        # twiddle of the u element at tile index j depends only on bits
+        # above r, so the u-half slice [(blocks, 2, span, W)][:, 0]
+        # carries exactly one value per butterfly block
+        wu = wfull.reshape(blocks, 2, span, W)[:, 0]
+        wB = jnp.broadcast_to(wu[:, :, None, :], (blocks, span, pt, W))
+        xv = xt.reshape(blocks, 2, span * pt, W)
+        u = xv[:, 0].reshape(blocks * span * pt, W)
+        v = xv[:, 1].reshape(blocks * span * pt, W)
+        u2 = u ^ _mul_vmem_sl(wB.reshape(blocks * span * pt, W), v)
+        v2 = u2 ^ v
+        xt = jnp.concatenate(
+            [u2.reshape(blocks, 1, span * pt, W),
+             v2.reshape(blocks, 1, span * pt, W)], axis=1
+        ).reshape(kk, pt, W)
+        st += 1
+
+    if include_low:
+        xf = xt.reshape(kk * pt, W)
+        for i, s in enumerate(range(min(log_h - 1, 4), -1, -1)):
+            wrow = (_parity_planes(jt, mtile[st])
+                    ^ _parity_planes(q, minst[st])[None, :]
+                    ^ lanes[i][None, :])          # (kk, W)
+            wf = jnp.broadcast_to(
+                wrow[:, None, :], (kk, pt, W)).reshape(kk * pt, W)
+            shift = 1 << s
+            um = jnp.uint32(_LANE_MASKS[s])
+            vm = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
+            un = xf ^ _mul_vmem_sl(wf, xf >> shift)
+            xf = (un & um) | ((xf ^ (un << shift)) & vm)
+            st += 1
+        xt = xf.reshape(kk, pt, W)
+    return xt
+
+
+def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
+                include_low: bool, cosets: int, emulate: bool = False):
+    """Run one stage group over x: (cosets, nb, 128) -> same shape.
+
+    Covers high stages 5+t0+k-1 .. 5+t0 and, if include_low, low stages
+    4..0.  One HBM read + one write of x; twiddles generated in VMEM.
+    ``emulate=True`` runs the same tile math as a vmapped jnp program
+    (CPU-testable) instead of a pallas_call.
+    """
+    _, nb, _ = x.shape
+    log_nb = log_h - 5
+    pre = 1 << (log_nb - t0 - k)
+    post = 1 << t0
+    pt = min(PT, post)
+    n_inst = cosets * pre
+    kk = 1 << k
+
+    x5 = x.reshape(n_inst, kk, post, W)
+    body = functools.partial(_group_body, log_h=log_h, k=k, pt=pt,
+                             include_low=include_low)
+
+    if emulate:
+        xt = x5.reshape(n_inst, kk, post // pt, pt, W).transpose(0, 2, 1, 3, 4)
+        qs = jnp.arange(n_inst, dtype=jnp.uint32)
+        fn = jax.vmap(jax.vmap(
+            lambda t, q: body(t, q, mtile, minst, lanes),
+            in_axes=(0, None)), in_axes=(0, 0))
+        out = fn(xt, qs)
+        out = out.transpose(0, 2, 1, 3, 4).reshape(x5.shape)
+        return out.reshape(x.shape)
+
+    grid = (n_inst, post // pt)
+    bspec = pl.BlockSpec((1, kk, pt, W), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec(mtile.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    lspec = (pl.BlockSpec(lanes.shape, lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+             if include_low else None)
+
+    def kern(*refs):
+        if include_low:
+            mtile_ref, minst_ref, lanes_ref, x_ref, out_ref = refs
+            lns = lanes_ref[:]
+        else:
+            mtile_ref, minst_ref, x_ref, out_ref = refs
+            lns = None
+        q = pl.program_id(0).astype(jnp.uint32)   # (coset << pre_bits) | pre
+        out_ref[0] = body(x_ref[0], q, mtile_ref[:], minst_ref[:], lns)
+
+    in_specs = [mspec, mspec] + ([lspec] if include_low else [])
+    args = (mtile, minst) + ((lanes,) if include_low else ())
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs + [bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct(x5.shape, x5.dtype),
+    )(*args, x5)
+    return out.reshape(x.shape)
+
+
+def apply_fused(data, tables, *, log_h: int, log_rate: int,
+                emulate: bool = False):
+    """Full transform: data (nb, 128) bit-sliced -> (cosets*nb, 128).
+
+    tables: tuple of per-group (t0, k, include_low, mtile, minst, lanes)
+    from build_tables(), ordered top group first (DIT: high stages first).
+    """
+    nb = data.shape[0]
+    cosets = 1 << log_rate
+    x = jnp.broadcast_to(data[None], (cosets, nb, W))
+    for (t0, k, include_low, mtile, minst, lanes) in tables:
+        x = stage_group(x, mtile, minst, lanes, log_h=log_h, t0=t0, k=k,
+                        include_low=include_low, cosets=cosets,
+                        emulate=emulate)
+    return x.reshape(cosets * nb, W)
+
+
+def build_tables(rows, log_h: int, log_rate: int):
+    """Per-group mask tables, ordered for execution (top group first)."""
+    out = []
+    for (t0, k, include_low) in reversed(plan_groups(log_h - 5)):
+        mtile, minst, lanes = make_group_tables(
+            rows, log_h, log_rate, t0, k, include_low)
+        out.append((t0, k, include_low,
+                    jnp.asarray(mtile), jnp.asarray(minst),
+                    None if lanes is None else jnp.asarray(lanes)))
+    return tuple(out)
