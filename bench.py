@@ -91,6 +91,22 @@ def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
     return best
 
 
+def bench_radix2(log_n: int = 24):
+    """Steady-state forward-transform time of the BB31 radix-2 NTT."""
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.ntt.radix2 import NTTRadix2
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+    import jax
+
+    # same generator/group as the reference suite (test_ntt.cu:128-136)
+    ntt = NTTRadix2(137, 27, log_n)
+    x = jnp.asarray(mt19937_stream(0xDEADBEEF + log_n, 1 << log_n))
+    jax.block_until_ready(x)
+    best, _ = _timeit(lambda: ntt.apply(x), iters=3)
+    return best
+
+
 def main():
     import jax
 
@@ -110,6 +126,12 @@ def main():
             bench_sumcheck_round(), 6)
     except Exception as e:
         print(f"sumcheck bench skipped: {e}", file=sys.stderr)
+    try:
+        log_r2 = min(log_h, 24)
+        extras["bb31_ntt_2^%d_seconds" % log_r2] = round(
+            bench_radix2(log_r2), 6)
+    except Exception as e:
+        print(f"radix2 bench skipped: {e}", file=sys.stderr)
     try:
         log32 = min(log_h, 20)  # jnp SWAR path; kept small (compile cost)
         bps32, ntt32_s, _ = bench_ntt32(log_h=log32)

@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _mul_vmem_sl
+from .pallas_kernels import _mul_planes, _mul_vmem_sl
 
 HEIGHT = 7
 W = 128
@@ -47,10 +47,38 @@ IPV = 4
 _LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
 
 # tile-size knobs: bottom tiles are (2^KB, 128) words; upper tiles are
-# (2^KU, PT, 128).  Sized so tile + ~510 live multiply planes fit VMEM.
+# (2^KU, PT, 128).  Sized so tile + live multiply planes fit the 16MB VMEM
+# scoped-allocation budget (KB=11 OOMs by ~1.4MB).
 KB = 10
 KU = 9
 PT = 8
+# scalar-hoisted constant-operand multiply: applied when a stage has few
+# distinct twiddles (blocks <= HOIST_MAX_BLOCKS) each spanning wide data.
+# Disabled by default: the extra per-block buffers pushed the upper-group
+# kernel from ~14M to 23.6M scoped VMEM at 2^24 (v5e limit is 16M).
+HOIST_MIN_WIDTH = 1024
+HOIST_MAX_BLOCKS = 0
+
+
+def _mul_hoisted(wu, v3):
+    """w*v where w is constant per block: wu (blocks, 128), v3
+    (blocks, width, 128), few blocks and wide width.
+
+    Per block, the w operand's bit-planes are *traced scalars*: the whole
+    Karatsuba forward expansion of w (~2k XORs) runs in scalar registers
+    and leaf ANDs are scalar-vector ops — ~14% fewer vector word-ops per
+    multiply.  Only profitable for small block counts (the per-block loop
+    repeats the v-side program), so callers gate on blocks <= HOIST_MAX_BLOCKS.
+    """
+    blocks, width, _ = v3.shape
+    outs = []
+    for b in range(blocks):
+        vt = v3[b].T                            # (W, width) — 2-D transpose
+        pa = [wu[b, i] for i in range(W)]       # scalar planes
+        pb = [vt[i] for i in range(W)]
+        out = _mul_planes(pa, pb, HEIGHT)
+        outs.append(jnp.stack(out).T[None])     # (1, width, W)
+    return jnp.concatenate(outs, axis=0) if blocks > 1 else outs[0]
 
 
 def _bit_masks(constants, offset: int, count: int) -> np.ndarray:
@@ -137,34 +165,61 @@ def make_group_tables(rows, log_h: int, log_rate: int, t0: int, k: int,
                 planes[i] = acc
             lane_list.append(planes)
         lanes = np.stack(lane_list)
-    return (np.stack(mtile), np.stack(minst), lanes)
+    mtile = np.stack(mtile)
+    minst = np.stack(minst)
+    # stages with identically-zero twiddles (top stage at rate 0) skip the
+    # multiply entirely; low stages also need their lane part to vanish
+    n_high = k
+    zero = []
+    for st in range(mtile.shape[0]):
+        z = not mtile[st].any() and not minst[st].any()
+        if st >= n_high and lanes is not None:
+            z = z and not lanes[st - n_high].any()
+        zero.append(z)
+    return (mtile, minst, lanes, tuple(zero))
 
 
 def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
-                include_low: bool):
+                include_low: bool, zero_flags: tuple = ()):
     """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32 scalar.
 
     Pure jnp — called from the Pallas kernel AND (jitted directly) from the
-    CPU emulation used by the tests.
+    CPU emulation used by the tests.  zero_flags[st] marks stages whose
+    twiddle is identically zero (top stage at rate 0): no multiply there.
     """
     kk = 1 << k
     jt = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+
+    def is_zero(st):
+        return bool(zero_flags[st]) if st < len(zero_flags) else False
 
     st = 0
     for r in range(k - 1, -1, -1):
         blocks = 1 << (k - 1 - r)
         span = 1 << r
-        wfull = (_parity_planes(jt >> (r + 1), mtile[st])
-                 ^ _parity_planes(q, minst[st])[None, :])
-        # twiddle of the u element at tile index j depends only on bits
-        # above r, so the u-half slice [(blocks, 2, span, W)][:, 0]
-        # carries exactly one value per butterfly block
-        wu = wfull.reshape(blocks, 2, span, W)[:, 0]
-        wB = jnp.broadcast_to(wu[:, :, None, :], (blocks, span, pt, W))
         xv = xt.reshape(blocks, 2, span * pt, W)
         u = xv[:, 0].reshape(blocks * span * pt, W)
         v = xv[:, 1].reshape(blocks * span * pt, W)
-        u2 = u ^ _mul_vmem_sl(wB.reshape(blocks * span * pt, W), v)
+        if is_zero(st):
+            u2 = u                       # w == 0: u' = u, v' = u ^ v
+        else:
+            wfull = (_parity_planes(jt >> (r + 1), mtile[st])
+                     ^ _parity_planes(q, minst[st])[None, :])
+            # twiddle of the u element at tile index j depends only on bits
+            # above r, so the u-half slice [(blocks, 2, span, W)][:, 0]
+            # carries exactly one value per butterfly block
+            if span * pt >= HOIST_MIN_WIDTH and blocks <= HOIST_MAX_BLOCKS:
+                # constant-per-block twiddle: hoist its Karatsuba expansion
+                wu = wfull.reshape(blocks, 2, span, W)[:, 0, 0]  # (blocks, W)
+                prod = _mul_hoisted(
+                    wu, xv[:, 1].reshape(blocks, span * pt, W))
+                u2 = u ^ prod.reshape(blocks * span * pt, W)
+            else:
+                wu = wfull.reshape(blocks, 2, span, W)[:, 0]
+                wB = jnp.broadcast_to(
+                    wu[:, :, None, :], (blocks, span, pt, W))
+                u2 = u ^ _mul_vmem_sl(
+                    wB.reshape(blocks * span * pt, W), v)
         v2 = u2 ^ v
         xt = jnp.concatenate(
             [u2.reshape(blocks, 1, span * pt, W),
@@ -173,25 +228,40 @@ def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
         st += 1
 
     if include_low:
-        xf = xt.reshape(kk * pt, W)
+        # low stages are lane-local; only the v half of each batch needs a
+        # product, so PAIRS of batches pack their v-halves into one
+        # 32-lane multiply — half the multiplies of the naive form
+        assert pt == 1
+        xf = xt.reshape(kk, W)
         for i, s in enumerate(range(min(log_h - 1, 4), -1, -1)):
             wrow = (_parity_planes(jt, mtile[st])
                     ^ _parity_planes(q, minst[st])[None, :]
                     ^ lanes[i][None, :])          # (kk, W)
-            wf = jnp.broadcast_to(
-                wrow[:, None, :], (kk, pt, W)).reshape(kk * pt, W)
             shift = 1 << s
             um = jnp.uint32(_LANE_MASKS[s])
             vm = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
-            un = xf ^ _mul_vmem_sl(wf, xf >> shift)
-            xf = (un & um) | ((xf ^ (un << shift)) & vm)
+            x2 = xf.reshape(kk // 2, 2, W)
+            w2 = wrow.reshape(kk // 2, 2, W)
+            x0, x1 = x2[:, 0], x2[:, 1]
+            # composite: even batch's v-values in u-slots, odd batch's in
+            # v-slots; twiddles arranged to match
+            comp = ((x0 >> shift) & um) | (x1 & vm)
+            wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
+            prod = _mul_vmem_sl(wcmp, comp)
+            un0 = x0 ^ (prod & um)
+            un1 = x1 ^ ((prod & vm) >> shift)
+            y0 = (un0 & um) | ((x0 ^ (un0 << shift)) & vm)
+            y1 = (un1 & um) | ((x1 ^ (un1 << shift)) & vm)
+            xf = jnp.concatenate(
+                [y0[:, None, :], y1[:, None, :]], axis=1).reshape(kk, W)
             st += 1
         xt = xf.reshape(kk, pt, W)
     return xt
 
 
 def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
-                include_low: bool, cosets: int, emulate: bool = False):
+                include_low: bool, cosets: int, zero_flags: tuple = (),
+                emulate: bool = False):
     """Run one stage group over x: (cosets, nb, 128) -> same shape.
 
     Covers high stages 5+t0+k-1 .. 5+t0 and, if include_low, low stages
@@ -209,7 +279,7 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
 
     x5 = x.reshape(n_inst, kk, post, W)
     body = functools.partial(_group_body, log_h=log_h, k=k, pt=pt,
-                             include_low=include_low)
+                             include_low=include_low, zero_flags=zero_flags)
 
     if emulate:
         xt = x5.reshape(n_inst, kk, post // pt, pt, W).transpose(0, 2, 1, 3, 4)
@@ -262,10 +332,10 @@ def apply_fused(data, tables, *, log_h: int, log_rate: int,
     nb = data.shape[0]
     cosets = 1 << log_rate
     x = jnp.broadcast_to(data[None], (cosets, nb, W))
-    for (t0, k, include_low, mtile, minst, lanes) in tables:
+    for (t0, k, include_low, mtile, minst, lanes, zero_flags) in tables:
         x = stage_group(x, mtile, minst, lanes, log_h=log_h, t0=t0, k=k,
                         include_low=include_low, cosets=cosets,
-                        emulate=emulate)
+                        zero_flags=zero_flags, emulate=emulate)
     return x.reshape(cosets * nb, W)
 
 
@@ -273,9 +343,10 @@ def build_tables(rows, log_h: int, log_rate: int):
     """Per-group mask tables, ordered for execution (top group first)."""
     out = []
     for (t0, k, include_low) in reversed(plan_groups(log_h - 5)):
-        mtile, minst, lanes = make_group_tables(
+        mtile, minst, lanes, zero_flags = make_group_tables(
             rows, log_h, log_rate, t0, k, include_low)
         out.append((t0, k, include_low,
                     jnp.asarray(mtile), jnp.asarray(minst),
-                    None if lanes is None else jnp.asarray(lanes)))
+                    None if lanes is None else jnp.asarray(lanes),
+                    zero_flags))
     return tuple(out)
