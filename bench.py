@@ -78,14 +78,28 @@ def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
 
     evals = mt19937_stream(7, INTS_PER_VALUE * (1 << num_vars) * comp)
     s = Sumcheck(evals, comp, num_vars)
-    coeff = s._coeffs[1]
-    rows = jnp.int32((1 << num_vars) // 32)
+    rows = (1 << num_vars) // 32
 
-    def step():
-        r = _round_kernel_tiled(s._device_evals, s._coeffs, rows,
+    if jax.default_backend() != "cpu":
+        from binius_ntt_tpu.sumcheck import pallas_round as pr
+
+        challenge = jnp.asarray(
+            mt19937_stream(11, INTS_PER_VALUE), dtype=jnp.uint32)
+
+        def step():
+            r = pr.round_kernel(s._device_evals[:, :rows],
                                 num_points=comp + 1)
-        f = _fold_kernel_tiled(s._device_evals, coeff, rows)
-        return r, f
+            f = pr.fold_kernel(s._device_evals[:, :rows], challenge)
+            return r, f
+    else:
+        coeff = s._coeffs[1]
+        rows_t = jnp.int32(rows)
+
+        def step():
+            r = _round_kernel_tiled(s._device_evals, s._coeffs, rows_t,
+                                    num_points=comp + 1)
+            f = _fold_kernel_tiled(s._device_evals, coeff, rows_t)
+            return r, f
 
     best, _ = _timeit(step, iters=3)
     return best

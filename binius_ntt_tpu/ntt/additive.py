@@ -124,11 +124,44 @@ class AdditiveNTT:
                     height=height)
         )
 
-    def apply(self, x):
-        """x: (2^log_h,) uint32 IN_ORDER -> (2^(log_h+log_rate),) IN_ORDER."""
+    def apply(self, x, per_stage_jit: bool | None = None):
+        """x: (2^log_h,) uint32 IN_ORDER -> (2^(log_h+log_rate),) IN_ORDER.
+
+        per_stage_jit: compile one small program per butterfly stage instead
+        of one monolithic program.  XLA:TPU compile time for the monolithic
+        graph grows superlinearly with tensor size (~15 min at 2^24), so
+        large transforms default to the per-stage path; steady-state runtime
+        is within a few dispatch overheads of the fused program.
+        """
         x = jnp.asarray(x, dtype=jnp.uint32)
         assert x.shape == (1 << self.log_h,)
-        return self._apply(x, self._twiddles)
+        if per_stage_jit is None:
+            per_stage_jit = self.log_h >= 22
+        if not per_stage_jit:
+            return self._apply(x, self._twiddles)
+        cosets = 1 << self.log_rate
+        data = jnp.broadcast_to(x[None, :], (cosets, 1 << self.log_h))
+        for s in range(self.log_h - 1, -1, -1):
+            data = _additive_ntt_stage(
+                data, self._twiddles[s], s=s, log_h=self.log_h,
+                log_rate=self.log_rate, height=self.height)
+        return data.reshape(cosets << self.log_h)
+
+
+@partial(jax.jit, static_argnames=("s", "log_h", "log_rate", "height"),
+         donate_argnums=(0,))
+def _additive_ntt_stage(data, tw, *, s: int, log_h: int, log_rate: int,
+                        height: int):
+    """One butterfly stage on (cosets, n); one small compile per stage."""
+    n = 1 << log_h
+    cosets = 1 << log_rate
+    nblocks = n >> (s + 1)
+    w = tw.reshape(cosets, nblocks) if log_rate else tw.reshape(1, nblocks)
+    v4 = data.reshape(cosets, nblocks, 2, 1 << s)
+    u, v = v4[:, :, 0, :], v4[:, :, 1, :]
+    u2 = u ^ mul_packed(w[:, :, None], v, height)
+    v2 = u2 ^ v
+    return jnp.stack([u2, v2], axis=2).reshape(cosets, n)
 
 
 def _additive_ntt_apply(x, twiddles, *, log_h: int, log_rate: int, height: int):

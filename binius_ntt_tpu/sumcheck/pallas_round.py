@@ -1,0 +1,231 @@
+"""Fused Pallas TPU kernels for the sumcheck round and fold.
+
+The reference fuses the whole round into one kernel (compute_compositions,
+sumcheck/core/kernels.cuh:5-102) plus a fold kernel (kernels.cu:9-31).  This
+is the TPU analogue: one pallas_call per round computing every per-tile
+composition product and accumulating XOR partial sums in VMEM, and one for
+the challenge fold.
+
+TPU-first improvements over a literal translation:
+
+  * Interpolation points 0 and 1 fold a column to its lower / upper half
+    (lower ^ p*(lower^upper) with p in {0,1}), so points[0] and points[1]
+    are byproducts of the compositions already needed for the total sum —
+    only points p >= 2 pay a fold+composition (the reference folds all
+    points, kernels.cuh:41-83).  For COMPOSITION_SIZE=2 that is 3 full
+    multiplies per tile instead of 5.
+  * A fold at interpolation point p multiplies by a *constant* height-2
+    subfield element, which is GF(2)-linear on each 4-plane chunk: it
+    compiles to a handful of plane XORs selected by the 4x4 bit-matrix of
+    mul-by-p (no ANDs at all), cf. the reference's per-chunk
+    multiply_unrolled<2> (core.cu:45-48).
+  * The challenge fold multiplies by a value constant across the whole
+    array: its Karatsuba forward expansion runs in scalar registers.
+
+All kernels compile per round size (buffers shrink as the protocol folds);
+the persistent compilation cache makes repeat protocols free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import tower_scalar as ts
+from ..ntt.pallas_kernels import _mul_planes
+
+HEIGHT = 7
+W = 128
+T = 1024          # batch rows per tile
+
+
+def _fold_matrix(p: int) -> tuple:
+    """4x4 GF(2) matrix of mul-by-p in the height-2 subfield.
+
+    rows[j] = tuple of k with bit j of (p * 2^k) set.
+    """
+    cols = [ts.multiply(p, 1 << k, 2) for k in range(4)]
+    return tuple(
+        tuple(k for k in range(4) if (cols[k] >> j) & 1) for j in range(4))
+
+
+def _planes(tile):
+    """(T, W) -> list of W (T,) plane vectors (one 2-D transpose)."""
+    t = tile.T
+    return [t[i] for i in range(W)]
+
+
+def _comp(cols_pl):
+    """Composition product over per-column plane lists."""
+    acc = cols_pl[0]
+    for c in range(1, len(cols_pl)):
+        acc = _mul_planes(acc, cols_pl[c], HEIGHT)
+    return acc
+
+
+def _fold_point_planes(low_pl, xh_pl, mat):
+    """lower ^ M_p(xh) per 4-plane chunk, in plane-list space (pure XORs)."""
+    out = []
+    for idx in range(W):
+        c, j = idx // 4, idx % 4
+        v = low_pl[idx]
+        for k in mat[j]:
+            v = v ^ xh_pl[4 * c + k]
+        out.append(v)
+    return out
+
+
+def _stack_t(pl_list):
+    return jnp.stack(pl_list).T          # (T, W)
+
+
+@functools.partial(jax.jit, static_argnames=("num_points",))
+def round_kernel(evals, *, num_points: int):
+    """One sumcheck round over evals (C, rows, 128), rows = live rows.
+
+    Returns (1 + num_points, 128) batch sums [total, p0, p1, p2...].
+    """
+    c, rows, _ = evals.shape
+    half = rows // 2
+    # tile size scales down with composition size (VMEM: double-buffered
+    # input blocks + plane lists + the ~510-plane multiply live set must fit
+    # the 16MB scoped budget; measured: c=2 t=1024 16.55M, c=3 t=512 16.01M)
+    t = min({2: T // 2, 3: T // 4}.get(c, T // 8), half)
+    grid = half // t
+    n_extra = num_points - 2             # points >= 2 need real folds
+    mats = [_fold_matrix(p) for p in range(2, num_points)]
+
+    lo_spec = pl.BlockSpec((c, t, W), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    up_spec = pl.BlockSpec((c, t, W), lambda i: (0, i + grid, 0),
+                           memory_space=pltpu.VMEM)
+    # accumulator tiles are pre-reduced to 8 sublane rows: keeps the
+    # double-buffered output block tiny (grid > 1 doubles block footprints)
+    acc_spec = pl.BlockSpec((1 + num_points, 8, W), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _acc_tile(pl_list):
+        # log-step XOR fold over the major axis (lax.reduce has no Pallas
+        # TPU lowering)
+        x = _stack_t(pl_list).reshape(t // 8, 8, W)
+        while x.shape[0] > 1:
+            half_n = x.shape[0] // 2
+            x = x[:half_n] ^ x[half_n:]
+        return x[0]
+
+    def kern(lo_ref, up_ref, acc_ref):
+        low_pl = [_planes(lo_ref[cc]) for cc in range(c)]
+        up_pl = [_planes(up_ref[cc]) for cc in range(c)]
+        comp_lo = _comp(low_pl)          # == fold at point 0
+        comp_up = _comp(up_pl)           # == fold at point 1
+        accs = [
+            _acc_tile([a ^ b for a, b in zip(comp_lo, comp_up)]),  # total
+            _acc_tile(comp_lo),
+            _acc_tile(comp_up),
+        ]
+        if n_extra:
+            xh_pl = [[a ^ b for a, b in zip(low_pl[cc], up_pl[cc])]
+                     for cc in range(c)]
+            for mat in mats:
+                folded = [_fold_point_planes(low_pl[cc], xh_pl[cc], mat)
+                          for cc in range(c)]
+                accs.append(_acc_tile(_comp(folded)))
+        new = jnp.stack(accs)            # (1+P, 8, W)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            acc_ref[:] = new
+
+        @pl.when(pl.program_id(0) != 0)
+        def _acc():
+            acc_ref[:] = acc_ref[:] ^ new
+
+    acc = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[lo_spec, up_spec],
+        out_specs=acc_spec,
+        out_shape=jax.ShapeDtypeStruct((1 + num_points, 8, W), jnp.uint32),
+    )(evals, evals)
+    return jax.lax.reduce(acc, jnp.uint32(0), jax.lax.bitwise_xor, (1,))
+
+
+@jax.jit
+def fold_kernel(evals, coeff_words):
+    """Challenge fold: (C, rows, 128) -> (C, rows//2, 128).
+
+    coeff_words: (4,) uint32 — the 128-bit challenge (constant across the
+    array, so its bit-planes are scalars inside the kernel).
+    """
+    c, rows, _ = evals.shape
+    half = rows // 2
+    # same VMEM discipline as round_kernel (t=1024 c=2 measured 18.03M)
+    t = min(T // 2 if c == 2 else T // 4, half)
+    grid = half // t
+
+    # 128 scalar planes: bit i of the challenge -> 0 / 0xFFFFFFFF
+    bits = (coeff_words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    planes = (jnp.uint32(0) - bits.reshape(W)).reshape(1, W)
+
+    lo_spec = pl.BlockSpec((c, t, W), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    up_spec = pl.BlockSpec((c, t, W), lambda i: (0, i + grid, 0),
+                           memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, W), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def kern(w_ref, lo_ref, up_ref, out_ref):
+        pa = [w_ref[0, i] for i in range(W)]     # scalar planes
+        for cc in range(c):
+            lo = lo_ref[cc]
+            xh_pl = _planes(lo ^ up_ref[cc])
+            prod = _mul_planes(pa, xh_pl, HEIGHT)
+            out_ref[cc] = lo ^ _stack_t(prod)
+
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[w_spec, lo_spec, up_spec],
+        out_specs=lo_spec,
+        out_shape=jax.ShapeDtypeStruct((c, half, W), jnp.uint32),
+    )(planes, evals, evals)
+
+
+def round_emulate(evals, *, num_points: int):
+    """CPU-testable jnp evaluation of the same round math."""
+    c, rows, _ = evals.shape
+    half = rows // 2
+    lower, upper = evals[:, :half], evals[:, half:]
+
+    def comp(cols):
+        from ..fields import bitsliced as bf
+
+        prod = cols[0]
+        for cc in range(1, cols.shape[0]):
+            prod = bf.multiply(prod, cols[cc], HEIGHT)
+        return prod
+
+    def red(x):
+        return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
+
+    comp_lo, comp_up = comp(lower), comp(upper)
+    out = [red(comp_lo ^ comp_up), red(comp_lo), red(comp_up)]
+    xh = lower ^ upper
+    for p in range(2, num_points):
+        mat = _fold_matrix(p)
+        xh4 = xh.reshape(c, half, W // 4, 4)
+        folded = lower.reshape(c, half, W // 4, 4)
+        acc = []
+        for j in range(4):
+            v = folded[..., j]
+            for k in mat[j]:
+                v = v ^ xh4[..., k]
+            acc.append(v)
+        folded = jnp.stack(acc, axis=-1).reshape(c, half, W)
+        out.append(red(comp(folded)))
+    return jnp.stack(out)

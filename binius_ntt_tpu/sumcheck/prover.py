@@ -345,10 +345,19 @@ class Sumcheck:
         """Returns (sum, points): sum (4,) uint32 words; points (P, 4)."""
         num = self._num_evals
         if num > 32:
-            parts = np.asarray(_round_kernel_tiled(
-                self._device_evals, self._coeffs, jnp.int32(num // 32),
-                num_points=self.num_points,
-            ))
+            rows = num // 32
+            if _use_pallas() and rows >= 16:
+                # fused Pallas round: one kernel, partial sums in VMEM
+                from . import pallas_round as pr
+
+                parts = np.asarray(pr.round_kernel(
+                    self._device_evals[:, :rows],
+                    num_points=self.num_points))
+            else:
+                parts = np.asarray(_round_kernel_tiled(
+                    self._device_evals, self._coeffs, jnp.int32(rows),
+                    num_points=self.num_points,
+                ))
             sum_batch = parts[0]
             point_batches = parts[1:]
             # GPU path always sums all 32 lanes (sumcheck.cuh:238-243)
@@ -377,8 +386,16 @@ class Sumcheck:
         num = self._num_evals
 
         if num > 32:
-            self._device_evals = _fold_kernel_tiled(
-                self._device_evals, jnp.asarray(coeff), jnp.int32(num // 32))
+            rows = num // 32
+            if _use_pallas() and rows >= 16:
+                from . import pallas_round as pr
+
+                self._device_evals = pr.fold_kernel(
+                    self._device_evals[:, :rows], jnp.asarray(challenge))
+            else:
+                self._device_evals = _fold_kernel_tiled(
+                    self._device_evals, jnp.asarray(coeff),
+                    jnp.int32(rows))
             if num // 2 == 32:
                 # migrate to the host for the tail (sumcheck.cuh:283-297)
                 self._host_evals = np.asarray(self._device_evals[:, 0, :])

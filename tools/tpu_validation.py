@@ -1,0 +1,187 @@
+"""Full-range golden-hash validation drive on real TPU hardware.
+
+Runs the reference's complete NTT golden suites at the sizes the CPU CI
+can't reach (cf. src/ulvt/ntt/tests/test_ntt.cu:126-234) plus GF(2^128)
+fused-vs-per-stage equality and sumcheck protocol spot checks, and appends
+one JSON line per config to the report file.
+
+Usage:
+    python tools/tpu_validation.py additive 11 24      # rate 0 and 2
+    python tools/tpu_validation.py additive 25 28
+    python tools/tpu_validation.py bb31 11 24
+    python tools/tpu_validation.py ntt128 20 26        # perf + capacity
+    python tools/tpu_validation.py sumcheck 20 24
+Results append to TPU_VALIDATION.jsonl.
+"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPORT = os.path.join(os.path.dirname(__file__), "..", "TPU_VALIDATION.jsonl")
+
+
+def _digest(arr) -> str:
+    return hashlib.md5(np.asarray(arr).astype("<u4").tobytes()).hexdigest()
+
+
+def _emit(rec):
+    rec["ts"] = round(time.time(), 1)
+    with open(REPORT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def _setup_cache():
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def run_additive(lo: int, hi: int, rates=(0, 2)):
+    from golden_hashes import ADDITIVE_NTT_HASHES
+    from binius_ntt_tpu.ntt.additive import AdditiveNTT
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for rate in rates:
+        for log_h in range(lo, hi + 1):
+            want = ADDITIVE_NTT_HASHES.get(rate, {}).get(log_h)
+            if want is None:
+                continue
+            x = mt19937_stream(0xDEADBEEF + log_h + rate, 1 << log_h)
+            t0 = time.time()
+            out = np.asarray(AdditiveNTT(log_h, rate).apply(x))
+            dt = time.time() - t0
+            got = _digest(out)
+            _emit({"suite": "additive_ntt32", "log_h": log_h, "rate": rate,
+                   "golden": want, "got": got, "pass": got == want,
+                   "wall_s": round(dt, 2)})
+            del out
+
+
+def run_bb31(lo: int, hi: int):
+    from golden_hashes import BB31_NTT_HASHES
+    from binius_ntt_tpu.ntt.radix2 import NTTRadix2
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for log_len in range(lo, hi + 1):
+        want = BB31_NTT_HASHES.get(log_len)
+        if want is None:
+            continue
+        inp = mt19937_stream(0xDEADBEEF + log_len, 1 << log_len)
+        t0 = time.time()
+        out = np.asarray(NTTRadix2(137, 27, log_len).apply(inp))
+        dt = time.time() - t0
+        got = _digest(out)
+        _emit({"suite": "bb31_ntt", "log_len": log_len, "golden": want,
+               "got": got, "pass": got == want, "wall_s": round(dt, 2)})
+        del out
+
+
+def run_ntt128(lo: int, hi: int):
+    """Fused-vs-per-stage equality at lo; capacity/perf up to hi."""
+    import jax
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.layout.bitslicing import bitslice_transpose
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.utils.benchlib import device_time
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    words = mt19937_stream(77, (1 << lo) * 4)
+    a = np.asarray(AdditiveNTT128(lo, 0, use_fused=True).apply(words))
+    b = np.asarray(AdditiveNTT128(lo, 0, use_fused=False).apply(words))
+    _emit({"suite": "ntt128_equality", "log_h": lo,
+           "pass": bool(np.array_equal(a, b))})
+    del a, b
+
+    for log_h in range(lo, hi + 1):
+        ntt = AdditiveNTT128(log_h, 0)
+        x = jnp.asarray(
+            mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4
+                           ).reshape(-1, 128))
+        sliced = jax.jit(bitslice_transpose)(x)
+        jax.block_until_ready(sliced)
+        best = device_time(lambda: ntt.apply_sliced(sliced), reps=3)
+        bfs = log_h * (1 << (log_h - 1)) / best
+        _emit({"suite": "ntt128_perf", "log_h": log_h,
+               "seconds": round(best, 5),
+               "butterflies_per_s": round(bfs, 0)})
+        del sliced, x
+
+
+def run_sumcheck(*num_vars_list):
+    """Full protocol with verifier-oracle round checks on TPU.
+
+    cf. the reference suites at 20/24 vars (sumcheck/test/test.cu:103-129).
+    """
+    from binius_ntt_tpu.sumcheck.prover import INTS_PER_VALUE, Sumcheck
+    from binius_ntt_tpu.sumcheck.verifier import (
+        evaluate_univariate_given_points, words_to_int)
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for num_vars in num_vars_list:
+        num_vars = int(num_vars)
+        for comp in (2, 3, 4):
+            evals = mt19937_stream(
+                41 + num_vars + comp, INTS_PER_VALUE * (1 << num_vars) * comp)
+            t0 = time.time()
+            s = Sumcheck(evals, comp, num_vars)
+            setup_s = time.time() - t0
+            rng = np.random.default_rng(7)
+            claim = None
+            ok = True
+            t0 = time.time()
+            round_times = []
+            for rnd in range(num_vars):
+                t1 = time.time()
+                total, pts = s.round_messages()
+                if claim is not None:
+                    want = claim
+                    got = words_to_int(total)
+                    ok = ok and (got == want)
+                p01 = words_to_int(pts[0]) ^ words_to_int(pts[1])
+                ok = ok and (words_to_int(total) == p01)
+                challenge = rng.integers(
+                    0, 2 ** 32, size=4, dtype=np.uint32)
+                claim = evaluate_univariate_given_points(
+                    words_to_int(challenge),
+                    [words_to_int(p) for p in pts], comp + 1)
+                s.move_to_next_round(challenge)
+                round_times.append(time.time() - t1)
+            proto_s = time.time() - t0
+            _emit({"suite": "sumcheck128", "num_vars": num_vars,
+                   "composition": comp, "pass": bool(ok),
+                   "setup_s": round(setup_s, 2),
+                   "protocol_s": round(proto_s, 2),
+                   "round0_s": round(round_times[0], 4),
+                   "mean_round_s": round(float(np.mean(round_times)), 4)})
+
+
+def main():
+    _setup_cache()
+    which = sys.argv[1]
+    args = [int(a) for a in sys.argv[2:]]
+    if which == "additive":
+        run_additive(*args)
+    elif which == "bb31":
+        run_bb31(*args)
+    elif which == "ntt128":
+        run_ntt128(*args)
+    elif which == "sumcheck":
+        run_sumcheck(*args)
+    else:
+        raise SystemExit(f"unknown suite {which}")
+
+
+if __name__ == "__main__":
+    main()
