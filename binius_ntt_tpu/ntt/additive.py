@@ -137,22 +137,44 @@ class AdditiveNTT:
         assert x.shape == (1 << self.log_h,)
         if per_stage_jit is None:
             per_stage_jit = self.log_h >= 22
+        if self.log_h < 7:
+            per_stage_jit = False    # (128, rows) view needs n >= 128
         if not per_stage_jit:
             return self._apply(x, self._twiddles)
         cosets = 1 << self.log_rate
         data = jnp.broadcast_to(x[None, :], (cosets, 1 << self.log_h))
-        for s in range(self.log_h - 1, -1, -1):
+        for s in range(self.log_h - 1, 6, -1):
             data = _additive_ntt_stage(
                 data, self._twiddles[s], s=s, log_h=self.log_h,
                 log_rate=self.log_rate, height=self.height)
+        # small-span stages on the transposed (C, 128, rows) view (the
+        # (blocks, 2, 2^s) form pads its tiny minor 64x in HBM at 2^26+)
+        data = _transpose_in(data)
+        for s in range(min(self.log_h - 1, 6), -1, -1):
+            data = _additive_ntt_stage_small(
+                data, self._twiddles[s], s=s, log_h=self.log_h,
+                log_rate=self.log_rate, height=self.height)
+        data = _transpose_out(data)
         return data.reshape(cosets << self.log_h)
+
+
+@jax.jit
+def _transpose_in(data):
+    c, n = data.shape
+    return data.reshape(c, n // 128, 128).transpose(0, 2, 1)
+
+
+@jax.jit
+def _transpose_out(xt):
+    c, _, rows = xt.shape
+    return xt.transpose(0, 2, 1).reshape(c, rows * 128)
 
 
 @partial(jax.jit, static_argnames=("s", "log_h", "log_rate", "height"),
          donate_argnums=(0,))
 def _additive_ntt_stage(data, tw, *, s: int, log_h: int, log_rate: int,
                         height: int):
-    """One butterfly stage on (cosets, n); one small compile per stage."""
+    """One large-span butterfly stage (2^s >= 128) on (cosets, n)."""
     n = 1 << log_h
     cosets = 1 << log_rate
     nblocks = n >> (s + 1)
@@ -162,6 +184,28 @@ def _additive_ntt_stage(data, tw, *, s: int, log_h: int, log_rate: int,
     u2 = u ^ mul_packed(w[:, :, None], v, height)
     v2 = u2 ^ v
     return jnp.stack([u2, v2], axis=2).reshape(cosets, n)
+
+
+@partial(jax.jit, static_argnames=("s", "log_h", "log_rate", "height"),
+         donate_argnums=(0,))
+def _additive_ntt_stage_small(xt, tw, *, s: int, log_h: int, log_rate: int,
+                              height: int):
+    """One small-span stage (2^s < 128) on the transposed (C, 128, rows)
+    view: element e = 128*r + j sits at xt[c, j, r], pairs differ in bit s
+    of j, so the butterfly axis is major and the minor dim stays `rows`."""
+    n = 1 << log_h
+    cosets = 1 << log_rate
+    rows = n // 128
+    nblocks = n >> (s + 1)
+    m = 128 >> (s + 1)
+    w = tw.reshape(cosets, nblocks) if log_rate else tw.reshape(1, nblocks)
+    # block index of e is r*m + jb  ->  w[c, jb, r] = w[c, r*m + jb]
+    wt = w.reshape(-1, rows, m).transpose(0, 2, 1)[:, :, None, :]
+    v5 = xt.reshape(cosets, m, 2, 1 << s, rows)
+    u, v = v5[:, :, 0], v5[:, :, 1]
+    u2 = u ^ mul_packed(wt, v, height)
+    v2 = u2 ^ v
+    return jnp.stack([u2, v2], axis=2).reshape(cosets, 128, rows)
 
 
 def _additive_ntt_apply(x, twiddles, *, log_h: int, log_rate: int, height: int):

@@ -70,16 +70,100 @@ class NTTRadix2:
         self._bitrev = jnp.asarray(bit_reverse_indices(log_n))
         self._apply = partial(_radix2_apply, log_n=log_n)
 
-    def apply(self, x, input_bit_reversed: bool = False):
+    def apply(self, x, input_bit_reversed: bool = False,
+              per_stage_jit: bool | None = None):
         """x: (2^log_n,) canonical uint32 values -> IN_ORDER transform output.
 
         `input_bit_reversed=False` matches DataOrder::IN_ORDER (the kernel
         bit-reverses first, gpuntt.cuh:163-168).
+
+        per_stage_jit: one small program per stage, with the small-span
+        stages (2^s < 128) run on a transposed (128, rows) view — the
+        monolithic (blocks, 2, 2^s) views pad 64x in XLA:TPU memory at
+        2^26+ ("Extra memory due to padding"), and its compile time grows
+        superlinearly with size.  Defaults on for log_n >= 22.
         """
         x = jnp.asarray(x, dtype=jnp.uint32)
         assert x.shape == (1 << self.log_n,)
-        return self._apply(x, self._tw_mont, self._bitrev,
-                           skip_bitrev=input_bit_reversed)
+        if per_stage_jit is None:
+            per_stage_jit = self.log_n >= 22
+        if self.log_n < 7:
+            per_stage_jit = False    # (128, rows) view needs n >= 128
+        if not per_stage_jit:
+            return self._apply(x, self._tw_mont, self._bitrev,
+                               skip_bitrev=input_bit_reversed)
+        x = _encode_stage(x)
+        if not input_bit_reversed:
+            x = x[self._bitrev]
+        # small-span stages run on the transposed (128, rows) view so the
+        # butterfly axis is major and every array keeps a 128-wide minor
+        n_small = min(7, self.log_n)
+        x = _transpose_in(x)
+        for s in range(n_small):
+            x = _radix2_stage_small(x, self._tw_mont, s=s, log_n=self.log_n)
+        x = _transpose_out(x)
+        for s in range(n_small, self.log_n):
+            x = _radix2_stage(x, self._tw_mont, s=s, log_n=self.log_n)
+        return _decode_stage(x)
+
+
+@jax.jit
+def _encode_stage(x):
+    from ..fields import baby_bear as bb
+
+    return bb.encode(x)
+
+
+@jax.jit
+def _decode_stage(x):
+    from ..fields import baby_bear as bb
+
+    return bb.decode(x)
+
+
+@jax.jit
+def _transpose_in(x):
+    return x.reshape(-1, 128).T          # (128, rows)
+
+
+@jax.jit
+def _transpose_out(xt):
+    return xt.T.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
+def _radix2_stage(x, tw_mont, *, s: int, log_n: int):
+    """One large-span DIF stage (2^s >= 128) on the flat array."""
+    n = 1 << log_n
+    nb = n >> (s + 1)
+    v3 = x.reshape(nb, 2, 1 << s)
+    u, v = v3[:, 0, :], v3[:, 1, :]
+    w = tw_mont[:nb][:, None]
+    big_u = bb.add(u, v)
+    big_v = bb.mont_mul(bb.sub(u, v), w)
+    return jnp.stack([big_u, big_v], axis=1).reshape(n)
+
+
+@partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
+def _radix2_stage_small(xt, tw_mont, *, s: int, log_n: int):
+    """One small-span stage (2^s < 128) on the transposed (128, rows) view.
+
+    Element e = 128*r + j lives at xt[j, r]; pairs differ in bit s of j, so
+    the butterfly runs along the major axis and every array keeps `rows`
+    as its minor dim — no tiny-minor padding (the naive (nb, 2, 2^s) view
+    pads 64x and OOMs HBM at 2^26+).
+    """
+    n = 1 << log_n
+    rows = n // 128
+    nb = n >> (s + 1)
+    m = 128 >> (s + 1)                   # twiddle blocks per row
+    v4 = xt.reshape(m, 2, 1 << s, rows)
+    u, v = v4[:, 0], v4[:, 1]
+    # block index of e is r*m + jb  ->  w[jb, r] = tw[r*m + jb]
+    w = tw_mont[:nb].reshape(rows, m).T[:, None, :]
+    big_u = bb.add(u, v)
+    big_v = bb.mont_mul(bb.sub(u, v), w)
+    return jnp.stack([big_u, big_v], axis=1).reshape(128, rows)
 
 
 @partial(jax.jit, static_argnames=("log_n", "skip_bitrev"))

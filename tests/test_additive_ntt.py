@@ -47,3 +47,19 @@ def test_validation():
         AdditiveNTT(4, 5)
     with pytest.raises(ValueError):
         AdditiveNTT(31, 2)  # log_h + log_rate > 32
+
+
+def test_per_stage_jit_path_matches_golden():
+    # the large-size path (transposed small-span stages, one jit per stage)
+    import hashlib
+
+    import numpy as np
+
+    from golden_hashes import ADDITIVE_NTT_HASHES
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for log_h, rate in [(9, 0), (10, 2)]:
+        x = mt19937_stream(0xDEADBEEF + log_h + rate, 1 << log_h)
+        out = AdditiveNTT(log_h, rate).apply(x, per_stage_jit=True)
+        got = hashlib.md5(np.asarray(out).astype("<u4").tobytes()).hexdigest()
+        assert got == ADDITIVE_NTT_HASHES[rate][log_h]

@@ -59,3 +59,10 @@ def test_validation():
         NTTRadix2(137, 27, 28)
     with pytest.raises(ValueError):
         NTTRadix2(137, 5, 6)
+
+
+def test_per_stage_jit_path_matches_golden():
+    for log_len in (8, 10):
+        inp = mt19937_stream(0xDEADBEEF + log_len, 1 << log_len)
+        out = NTTRadix2(137, 27, log_len).apply(inp, per_stage_jit=True)
+        assert _digest(out) == BB31_NTT_HASHES[log_len]
