@@ -122,12 +122,10 @@ def bench_radix2(log_n: int = 24):
 
 
 def main():
-    import jax
-
     # persistent compilation cache: repeat bench runs skip recompilation
-    jax.config.update("jax_enable_compilation_cache", True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from binius_ntt_tpu.utils.benchlib import setup_compile_cache
+
+    setup_compile_cache()
 
     log_h = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     bps, ntt_s, compile_s = bench_ntt128(log_h=log_h)

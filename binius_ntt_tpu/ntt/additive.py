@@ -170,11 +170,9 @@ def _transpose_out(xt):
     return xt.transpose(0, 2, 1).reshape(c, rows * 128)
 
 
-@partial(jax.jit, static_argnames=("s", "log_h", "log_rate", "height"),
-         donate_argnums=(0,))
-def _additive_ntt_stage(data, tw, *, s: int, log_h: int, log_rate: int,
-                        height: int):
-    """One large-span butterfly stage (2^s >= 128) on (cosets, n)."""
+def _stage_body(data, tw, *, s: int, log_h: int, log_rate: int, height: int):
+    """One butterfly stage on (cosets, n) — shared by the monolithic and
+    per-stage-jit paths."""
     n = 1 << log_h
     cosets = 1 << log_rate
     nblocks = n >> (s + 1)
@@ -184,6 +182,15 @@ def _additive_ntt_stage(data, tw, *, s: int, log_h: int, log_rate: int,
     u2 = u ^ mul_packed(w[:, :, None], v, height)
     v2 = u2 ^ v
     return jnp.stack([u2, v2], axis=2).reshape(cosets, n)
+
+
+@partial(jax.jit, static_argnames=("s", "log_h", "log_rate", "height"),
+         donate_argnums=(0,))
+def _additive_ntt_stage(data, tw, *, s: int, log_h: int, log_rate: int,
+                        height: int):
+    """One large-span butterfly stage (2^s >= 128) on (cosets, n)."""
+    return _stage_body(data, tw, s=s, log_h=log_h, log_rate=log_rate,
+                       height=height)
 
 
 @partial(jax.jit, static_argnames=("s", "log_h", "log_rate", "height"),
@@ -211,20 +218,11 @@ def _additive_ntt_stage_small(xt, tw, *, s: int, log_h: int, log_rate: int,
 def _additive_ntt_apply(x, twiddles, *, log_h: int, log_rate: int, height: int):
     n = 1 << log_h
     cosets = 1 << log_rate
-    # replicate the input into one row per coset (additive_ntt.cuh:213-215)
+    # replicate the input into one row per coset (additive_ntt.cuh:213-215);
+    # indicator = coset << (log_h-1-s) | block → each stage's table reshapes
+    # to (cosets, nblocks) coset-major inside _stage_body
     data = jnp.broadcast_to(x[None, :], (cosets, n))
-
     for s in range(log_h - 1, -1, -1):
-        nblocks = n >> (s + 1)
-        # indicator = coset << (log_h-1-s) | block  → table reshapes to
-        # (cosets, nblocks) with coset-major layout
-        w = twiddles[s].reshape(cosets, nblocks) if log_rate else (
-            twiddles[s].reshape(1, nblocks)
-        )
-        v4 = data.reshape(cosets, nblocks, 2, 1 << s)
-        u, v = v4[:, :, 0, :], v4[:, :, 1, :]
-        u2 = u ^ mul_packed(w[:, :, None], v, height)
-        v2 = u2 ^ v
-        data = jnp.stack([u2, v2], axis=2).reshape(cosets, n)
-
+        data = _stage_body(data, twiddles[s], s=s, log_h=log_h,
+                           log_rate=log_rate, height=height)
     return data.reshape(cosets * n)

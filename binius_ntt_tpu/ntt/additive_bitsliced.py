@@ -86,6 +86,23 @@ class AdditiveNTT128:
         self.log_rate = log_rate
 
         rows = precompute_subspace_evals(log_h, log_rate, HEIGHT)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+        # fused stage-group kernel: one HBM pass per ~10-15 stages instead of
+        # one per stage (ntt/pallas_fused.py); needs >= 8 batches per tile
+        if use_fused is None:
+            use_fused = use_pallas and log_h >= 8
+        self.use_fused = use_fused
+        if use_fused:
+            from . import pallas_fused as pf
+
+            tables = pf.build_tables(rows, log_h, log_rate)
+            # tables hold python ints (group shapes) -> close over them
+            self._apply_sliced = jax.jit(lambda data: pf.apply_fused(
+                data, tables, log_h=log_h, log_rate=log_rate))
+            return
+
         high_tables = {}
         low_batch_tables = {}
         low_lane_planes = {}
@@ -117,27 +134,9 @@ class AdditiveNTT128:
         self._high_tables = high_tables
         self._low_batch_tables = low_batch_tables
         self._low_lane_planes = low_lane_planes
-
-        if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
-        self.use_pallas = use_pallas
-        # fused stage-group kernel: one HBM pass per ~10-15 stages instead of
-        # one per stage (ntt/pallas_fused.py); needs >= 8 batches per tile
-        if use_fused is None:
-            use_fused = use_pallas and log_h >= 8
-        self.use_fused = use_fused
-        if use_fused:
-            from . import pallas_fused as pf
-
-            tables = pf.build_tables(rows, log_h, log_rate)
-            self._fused_tables = tables
-            # tables hold python ints (group shapes) -> close over them
-            self._apply_sliced = jax.jit(lambda data: pf.apply_fused(
-                data, tables, log_h=log_h, log_rate=log_rate))
-        else:
-            self._apply_sliced = jax.jit(partial(
-                _apply128, log_h=log_h, log_rate=log_rate,
-                use_pallas=use_pallas))
+        self._apply_sliced = jax.jit(partial(
+            _apply128, log_h=log_h, log_rate=log_rate,
+            use_pallas=use_pallas))
 
     def apply_sliced(self, data):
         """data: (2^log_h/32, 128) bit-sliced IN_ORDER input.

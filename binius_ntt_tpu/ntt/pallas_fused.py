@@ -38,13 +38,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _mul_planes, _mul_vmem_sl
+from .pallas_kernels import HEIGHT, W, _LANE_MASKS, _mul_planes, _mul_vmem_sl
 
-HEIGHT = 7
-W = 128
-IPV = 4
-
-_LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
+IPV = W // 32
 
 # tile-size knobs: bottom tiles are (2^KB, 128) words; upper tiles are
 # (2^KU, PT, 128).  Sized so tile + live multiply planes fit the 16MB VMEM
@@ -234,22 +230,25 @@ def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
         assert pt == 1
         xf = xt.reshape(kk, W)
         for i, s in enumerate(range(min(log_h - 1, 4), -1, -1)):
-            wrow = (_parity_planes(jt, mtile[st])
-                    ^ _parity_planes(q, minst[st])[None, :]
-                    ^ lanes[i][None, :])          # (kk, W)
             shift = 1 << s
             um = jnp.uint32(_LANE_MASKS[s])
             vm = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
             x2 = xf.reshape(kk // 2, 2, W)
-            w2 = wrow.reshape(kk // 2, 2, W)
             x0, x1 = x2[:, 0], x2[:, 1]
-            # composite: even batch's v-values in u-slots, odd batch's in
-            # v-slots; twiddles arranged to match
-            comp = ((x0 >> shift) & um) | (x1 & vm)
-            wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
-            prod = _mul_vmem_sl(wcmp, comp)
-            un0 = x0 ^ (prod & um)
-            un1 = x1 ^ ((prod & vm) >> shift)
+            if is_zero(st):
+                un0, un1 = x0, x1       # w == 0: pure XOR butterfly
+            else:
+                wrow = (_parity_planes(jt, mtile[st])
+                        ^ _parity_planes(q, minst[st])[None, :]
+                        ^ lanes[i][None, :])      # (kk, W)
+                w2 = wrow.reshape(kk // 2, 2, W)
+                # composite: even batch's v-values in u-slots, odd batch's
+                # in v-slots; twiddles arranged to match
+                comp = ((x0 >> shift) & um) | (x1 & vm)
+                wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
+                prod = _mul_vmem_sl(wcmp, comp)
+                un0 = x0 ^ (prod & um)
+                un1 = x1 ^ ((prod & vm) >> shift)
             y0 = (un0 & um) | ((x0 ^ (un0 << shift)) & vm)
             y1 = (un1 & um) | ((x1 ^ (un1 << shift)) & vm)
             xf = jnp.concatenate(

@@ -131,9 +131,9 @@ def _transpose_out(xt):
     return xt.T.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
-def _radix2_stage(x, tw_mont, *, s: int, log_n: int):
-    """One large-span DIF stage (2^s >= 128) on the flat array."""
+def _radix2_stage_body(x, tw_mont, *, s: int, log_n: int):
+    """One DIF stage on the flat Montgomery array — shared by the
+    monolithic and per-stage-jit paths."""
     n = 1 << log_n
     nb = n >> (s + 1)
     v3 = x.reshape(nb, 2, 1 << s)
@@ -142,6 +142,12 @@ def _radix2_stage(x, tw_mont, *, s: int, log_n: int):
     big_u = bb.add(u, v)
     big_v = bb.mont_mul(bb.sub(u, v), w)
     return jnp.stack([big_u, big_v], axis=1).reshape(n)
+
+
+@partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
+def _radix2_stage(x, tw_mont, *, s: int, log_n: int):
+    """One large-span DIF stage (2^s >= 128) on the flat array."""
+    return _radix2_stage_body(x, tw_mont, s=s, log_n=log_n)
 
 
 @partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
@@ -173,11 +179,5 @@ def _radix2_apply(x, tw_mont, bitrev, *, log_n: int, skip_bitrev: bool = False):
     if not skip_bitrev:
         x = x[bitrev]
     for s in range(log_n):
-        nb = n >> (s + 1)
-        v3 = x.reshape(nb, 2, 1 << s)
-        u, v = v3[:, 0, :], v3[:, 1, :]
-        w = tw_mont[:nb][:, None]
-        big_u = bb.add(u, v)
-        big_v = bb.mont_mul(bb.sub(u, v), w)
-        x = jnp.stack([big_u, big_v], axis=1).reshape(n)
+        x = _radix2_stage_body(x, tw_mont, s=s, log_n=log_n)
     return bb.decode(x)

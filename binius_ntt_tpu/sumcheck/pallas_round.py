@@ -37,11 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields import tower_scalar as ts
-from ..ntt.pallas_kernels import _mul_planes
+from ..ntt.pallas_kernels import HEIGHT, W, _mul_planes
 
-HEIGHT = 7
-W = 128
-T = 1024          # batch rows per tile
+T = 1024          # batch rows per tile (scaled down per composition size)
 
 
 def _fold_matrix(p: int) -> tuple:

@@ -177,56 +177,6 @@ def _fold_kernel_tiled(evals, coeff, num_rows):
     return buf
 
 
-@partial(jax.jit, static_argnames=("composition_size", "num_points"))
-def _round_kernel(evals, coeffs, *, composition_size: int, num_points: int):
-    """Fused round computation; cf. compute_compositions (kernels.cuh:5-102).
-
-    evals: (C, B, 128) bit-sliced; coeffs: (num_points, 128).
-    Returns (sum_batch (128,), point_batches (num_points, 128)).
-    """
-    del composition_size  # implied by evals.shape[0]
-
-    def composition(cols):  # cols: (C, rows, 128) -> (rows, 128)
-        prod = cols[0]
-        for c in range(1, cols.shape[0]):
-            prod = bf.multiply(prod, cols[c], TOWER_HEIGHT)
-        return prod
-
-    def xor_reduce(x, axis):
-        return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (axis,))
-
-    sum_batch = xor_reduce(composition(evals), 0)
-
-    half = evals.shape[1] // 2
-    lower = evals[:, :half]
-    upper = evals[:, half:]
-    xor_halves = lower ^ upper
-
-    points = []
-    for p in range(num_points):
-        # fold at the interpolation point: height-2 subfield chunk multiply
-        # against the coefficient batch's first 4 planes (core.cu:45-48)
-        prod = bf.mul_subfield_chunks(
-            xor_halves, coeffs[p, :1 << INTERPOLATION_TOWER_HEIGHT],
-            TOWER_HEIGHT, INTERPOLATION_TOWER_HEIGHT,
-        )
-        folded = lower ^ prod
-        points.append(xor_reduce(composition(folded), 0))
-    return sum_batch, jnp.stack(points)
-
-
-@jax.jit
-def _fold_kernel(evals, coeff):
-    """Random-challenge fold: full height-7 multiply (core.cu:49-55).
-
-    evals: (C, B, 128) -> (C, B//2, 128).
-    """
-    half = evals.shape[1] // 2
-    lower = evals[:, :half]
-    upper = evals[:, half:]
-    return lower ^ bf.multiply(lower ^ upper, coeff, TOWER_HEIGHT)
-
-
 @jax.jit
 def _transpose_kernel(evals):
     return bitslice_transpose(evals)
@@ -382,7 +332,6 @@ class Sumcheck:
         challenge: 4 uint32 words (little-endian 128-bit value).
         """
         challenge = np.asarray(challenge, dtype=np.uint32).reshape(INTS_PER_VALUE)
-        coeff = repeat_value_bitsliced(challenge, BITS_WIDTH)
         num = self._num_evals
 
         if num > 32:
@@ -393,6 +342,7 @@ class Sumcheck:
                 self._device_evals = pr.fold_kernel(
                     self._device_evals[:, :rows], jnp.asarray(challenge))
             else:
+                coeff = repeat_value_bitsliced(challenge, BITS_WIDTH)
                 self._device_evals = _fold_kernel_tiled(
                     self._device_evals, jnp.asarray(coeff),
                     jnp.int32(rows))
@@ -401,6 +351,7 @@ class Sumcheck:
                 self._host_evals = np.asarray(self._device_evals[:, 0, :])
                 self._device_evals = None
         else:
+            coeff = repeat_value_bitsliced(challenge, BITS_WIDTH)
             self._host_evals = _fold_small(self._host_evals, coeff, num)
 
         self.round += 1

@@ -43,3 +43,21 @@ def device_time(fn, *args, reps: int = 8, trials: int = 3) -> float:
         ests.append((tk - t1) / (reps - 1))
     ests.sort()
     return max(ests[len(ests) // 2], 1e-9)
+
+
+def setup_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache.
+
+    Shared by bench.py and tools/tpu_validation.py: remote (tunnel) compiles
+    run 10s-1000s, so repeat runs must hit the on-disk cache.
+    """
+    import os
+
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

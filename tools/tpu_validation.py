@@ -40,11 +40,9 @@ def _emit(rec):
 
 
 def _setup_cache():
-    import jax
+    from binius_ntt_tpu.utils.benchlib import setup_compile_cache
 
-    jax.config.update("jax_enable_compilation_cache", True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    setup_compile_cache()
 
 
 def run_additive(lo: int, hi: int, rates=(0, 2)):
