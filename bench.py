@@ -136,6 +136,9 @@ def main():
     try:
         extras["sumcheck_2^20_round_seconds"] = round(
             bench_sumcheck_round(), 6)
+        if log_h >= 24:
+            extras["sumcheck_2^24_round_seconds"] = round(
+                bench_sumcheck_round(24), 6)
     except Exception as e:
         print(f"sumcheck bench skipped: {e}", file=sys.stderr)
     try:

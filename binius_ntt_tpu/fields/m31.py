@@ -24,9 +24,14 @@ __all__ = ["P", "m31_add", "m31_sub", "m31_mul", "qm31_add", "qm31_sub", "qm31_m
 
 
 def m31_add(a, b):
-    """(a + b) mod P, inputs canonical; m31.cuh:23-27."""
+    """(a + b) mod P, inputs canonical; m31.cuh:23-27.
+
+    The branchless fold (s + (s >> 31)) & P maps s == P to P (bit 31 is
+    clear, so nothing wraps) — canonicalise that alias to 0 explicitly.
+    """
     s = a + b
-    return (s + (s >> 31)) & jnp.uint32(P)
+    s = (s + (s >> 31)) & jnp.uint32(P)
+    return jnp.where(s == P, jnp.uint32(0), s)
 
 
 def m31_sub(a, b):
@@ -109,14 +114,17 @@ def qm31_scalar(v: int) -> np.ndarray:
 
 def qm31_mul_host(x, y):
     xs = np.asarray(x, np.uint64); ys = np.asarray(y, np.uint64)
-    p = P
+    # np.uint64 op python-int promotes to float64 under NumPy < 2 (pre-NEP
+    # 50) and silently loses low bits of ~2^62 products — keep p a uint64
+    p = np.uint64(P)
 
     def cm(a, b, c, d):
         return ((a * c + p * p - b * d) % p, (a * d + b * c) % p)
 
     us = cm(xs[0], xs[1], ys[0], ys[1])
     vt = cm(xs[2], xs[3], ys[2], ys[3])
-    rvt = ((2 * vt[0] + p - vt[1] % p) % p, (vt[0] + 2 * vt[1]) % p)
+    two = np.uint64(2)
+    rvt = ((two * vt[0] + p - vt[1]) % p, (vt[0] + two * vt[1]) % p)
     ut = cm(xs[0], xs[1], ys[2], ys[3])
     vs = cm(xs[2], xs[3], ys[0], ys[1])
     return np.array([

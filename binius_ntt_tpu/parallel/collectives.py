@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..fields.m31 import P
+from ..fields.m31 import m31_add
 
 __all__ = ["xor_all_reduce", "m31_all_reduce"]
 
@@ -35,9 +35,4 @@ def xor_all_reduce(x, axis_name: str):
 def m31_all_reduce(x, axis_name: str):
     """All-reduce with addition mod 2^31 - 1 (components canonical)."""
     gathered = jax.lax.all_gather(x, axis_name)
-
-    def add(a, b):
-        s = a + b
-        return (s + (s >> 31)) & jnp.uint32(P)
-
-    return jax.lax.reduce(gathered, jnp.uint32(0), add, (0,))
+    return jax.lax.reduce(gathered, jnp.uint32(0), m31_add, (0,))

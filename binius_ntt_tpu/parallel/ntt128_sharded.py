@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
-from ..fields import bitsliced as bf
 from ..layout.bitslicing import bitslice_transpose
 from ..ntt.additive import precompute_subspace_evals
 from ..ntt.additive_bitsliced import (
@@ -96,8 +95,11 @@ class ShardedAdditiveNTT128:
         """
         cosets = 1 << self.log_rate
         nb = (1 << self.log_h) // 32
-        x = jnp.broadcast_to(jnp.asarray(data)[None], (cosets, nb, W))
-        x = jax.device_put(x, self._data_sharding)
+        # host-side zero-copy broadcast; device_put ships one shard per
+        # device instead of materialising the full array on device 0
+        host = np.broadcast_to(
+            np.asarray(data, dtype=np.uint32)[None], (cosets, nb, W))
+        x = jax.device_put(host, self._data_sharding)
         high, lowb, lowl = self._tables
         out = self._apply(x, _dict_to_tuple(high), _dict_to_tuple(lowb),
                           _dict_to_tuple(lowl))
@@ -140,15 +142,20 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
 
             i_am_v = ((d >> bit) & 1).astype(bool)
             wpb = jnp.broadcast_to(wp, x.shape)
-            u_new = x ^ _mul128(wpb, recv)
-            v_new = (recv ^ _mul128(wpb, x)) ^ x
-            x = jnp.where(i_am_v, v_new, u_new)
+            # one multiply serves both sides (w*v with v = recv on the
+            # u-side device, v = x on the v-side device)
+            m = _mul128(wpb, jnp.where(i_am_v, x, recv))
+            x = jnp.where(i_am_v, (recv ^ m) ^ x, x ^ m)
         else:
             groups_local = sb // (2 * db)
-            grp_global = d * groups_local + jnp.arange(
-                groups_local, dtype=jnp.uint32)
-            idx = (coset_ids[:, None] << (log_h - 1 - s)) | grp_global[None, :]
-            w4 = high[s][idx]                       # (C, G, 4)
+            groups_global = nb // (2 * db)
+            # indicator = coset << (log_h-1-s) | group with groups contiguous
+            # per coset: a reshape + slice at this device's offset, NOT a
+            # gather (gathers are row-at-a-time on TPU)
+            table = high[s].reshape(cosets, groups_global, IPV)
+            w4 = jax.lax.dynamic_slice(
+                table, (0, d * groups_local, 0),
+                (cosets, groups_local, IPV))
             wp = _expand_bits(w4)[:, :, None, :]
             from ..sumcheck.prover import _mul128
 
@@ -160,11 +167,11 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
 
     # ---- low stages (always local) ----
     for s in range(min(log_h - 1, 4), -1, -1):
-        lane_bits = min(4 - s, log_h + log_rate - 1 - s)
-        k_global = d * sb + jnp.arange(sb, dtype=jnp.uint32)
-        idx = ((coset_ids[:, None] << (log_h - 1 - s)) >> lane_bits) | \
-            k_global[None, :]
-        a4 = lowb[s][idx]
+        # batch part of the indicator is contiguous per coset: slice the
+        # doubling table at this device's batch offset (no gather)
+        table = lowb[s].reshape(cosets, nb, IPV)
+        a4 = jax.lax.dynamic_slice(
+            table, (0, d * sb, 0), (cosets, sb, IPV))
         wp = _expand_bits(a4) ^ lowl[s][None, None, :]
         shift = 1 << s
         umask = jnp.uint32(_LANE_MASKS[s])

@@ -79,11 +79,16 @@ class ShardedAdditiveNTT:
 
         Accepts an unsharded array; places it block-sharded over the mesh.
         """
+        import numpy as np
+
         n = 1 << self.log_h
         cosets = 1 << self.log_rate
-        x = jnp.asarray(x, dtype=jnp.uint32)
-        data = jnp.broadcast_to(x[None, :], (cosets, n))
-        data = jax.device_put(data, self._data_sharding)
+        # broadcast on the host (zero-copy view) and let device_put transfer
+        # one shard per device — materialising the full (cosets, n) array on
+        # device 0 first would defeat sharding past one chip's HBM
+        host = np.broadcast_to(
+            np.asarray(x, dtype=np.uint32)[None, :], (cosets, n))
+        data = jax.device_put(host, self._data_sharding)
         out = self._apply(data, *self._twiddles)
         return out.reshape(cosets * n)
 
@@ -111,9 +116,10 @@ def _sharded_apply_local(data, *twiddles, log_h: int, log_rate: int,
         w = jnp.take(twiddles[s], ind)[:, None]               # (cosets, 1)
 
         i_am_v = ((d >> bit) & 1).astype(bool)
-        u_new = data ^ mul_packed(w, recv, height)            # I hold u
-        v_new = (recv ^ mul_packed(w, data, height)) ^ data   # I hold v
-        data = jnp.where(i_am_v, v_new, u_new)
+        # one multiply serves both sides: the u side needs w*v (= w*recv),
+        # the v side needs w*v (= w*data) for v' = u' ^ v = recv ^ w*v ^ v
+        m = mul_packed(w, jnp.where(i_am_v, data, recv), height)
+        data = jnp.where(i_am_v, (recv ^ m) ^ data, data ^ m)
 
     # ---- shard-local stages ----
     for s in range(log_s - 1, -1, -1):

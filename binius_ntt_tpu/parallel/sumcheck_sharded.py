@@ -97,7 +97,10 @@ class ShardedSumcheck:
         arr = arr.reshape(composition_size, b // self.n_dev, self.n_dev,
                           BITS_WIDTH).transpose(2, 0, 1, 3)
         sharding = NamedSharding(mesh, Pspec(AXIS))
-        dev = jax.device_put(jnp.asarray(arr), sharding)
+        # device_put the numpy array directly: each device receives only
+        # its shard (jnp.asarray first would commit the full table to
+        # device 0 — the unsharded footprint this class exists to avoid)
+        dev = jax.device_put(arr, sharding)
         if not data_is_transposed:
             from ..layout.bitslicing import bitslice_transpose
             dev = jax.jit(bitslice_transpose)(dev)

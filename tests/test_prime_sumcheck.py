@@ -50,3 +50,15 @@ def test_protocol_num_vars_12():
     final = np.asarray(s._evals)[:, 0, :]
     final_prod = qm31_mul_host(final[0], final[1])
     assert (final_prod == expected_claim).all()
+
+
+def test_m31_add_canonicalises_p_alias():
+    # regression: the branchless fold maps a+b == P to P, not 0
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.fields.m31 import P, m31_add
+
+    out = np.asarray(m31_add(
+        jnp.asarray([1, 5, P - 1], dtype=jnp.uint32),
+        jnp.asarray([P - 1, 3, P - 1], dtype=jnp.uint32)))
+    assert (out == np.array([0, 8, P - 2], dtype=np.uint32)).all()

@@ -58,3 +58,23 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@needs_mesh
+@pytest.mark.parametrize("log_h,log_rate", [(9, 0), (10, 1)])
+def test_sharded_ntt128_bit_identical(log_h, log_rate):
+    from binius_ntt_tpu.layout.bitslicing import bitslice_transpose
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.parallel.ntt128_sharded import ShardedAdditiveNTT128
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh()
+    words = mt19937_stream(0xBEEF + log_h, (1 << log_h) * 4)
+    sliced = np.asarray(
+        bitslice_transpose(jnp.asarray(words.reshape(-1, 128))))
+    ref = np.asarray(AdditiveNTT128(
+        log_h, log_rate, use_pallas=False).apply_sliced(jnp.asarray(sliced)))
+    got = np.asarray(ShardedAdditiveNTT128(
+        log_h, log_rate, mesh).apply_sliced(sliced))
+    assert (ref == got).all()

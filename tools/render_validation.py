@@ -1,0 +1,73 @@
+"""Render TPU_VALIDATION.jsonl into TPU_VALIDATION.md (latest result per
+config wins; sorted tables per suite)."""
+
+import json
+import os
+from collections import OrderedDict
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def main():
+    rows = {}
+    with open(os.path.join(ROOT, "TPU_VALIDATION.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            key = (r["suite"],) + tuple(
+                r.get(k) for k in ("log_h", "log_len", "rate", "num_vars",
+                                   "composition"))
+            rows[key] = r          # latest wins
+
+    suites = OrderedDict()
+    for key in sorted(rows, key=lambda k: tuple(-1 if v is None else v
+                                                for v in k[1:])):
+        suites.setdefault(rows[key]["suite"], []).append(rows[key])
+
+    out = ["# TPU validation results (rendered from TPU_VALIDATION.jsonl)",
+           "", "All runs on the attached TPU v5e chip; golden digests are "
+           "the reference's committed MD5 tables "
+           "(src/ulvt/ntt/tests/test_ntt.cu:21-124).", ""]
+    for suite, rs in suites.items():
+        out.append(f"## {suite}")
+        out.append("")
+        if suite == "additive_ntt32":
+            out.append("| log_h | rate | pass | wall_s |")
+            out.append("|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['log_h']} | {r['rate']} | "
+                           f"{'PASS' if r['pass'] else '**FAIL**'} | "
+                           f"{r['wall_s']} |")
+        elif suite == "bb31_ntt":
+            out.append("| log_len | pass | wall_s |")
+            out.append("|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['log_len']} | "
+                           f"{'PASS' if r['pass'] else '**FAIL**'} | "
+                           f"{r['wall_s']} |")
+        elif suite == "ntt128_perf":
+            out.append("| log_h | seconds | butterflies/s |")
+            out.append("|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['log_h']} | {r['seconds']} | "
+                           f"{r['butterflies_per_s']:.3e} |")
+        elif suite == "sumcheck128":
+            out.append("| num_vars | composition | pass | protocol_s "
+                       "(compile-dominated) |")
+            out.append("|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['num_vars']} | {r['composition']} | "
+                           f"{'PASS' if r['pass'] else '**FAIL**'} | "
+                           f"{r['protocol_s']} |")
+        else:
+            for r in rs:
+                out.append(f"- `{json.dumps(r)}`")
+        out.append("")
+
+    path = os.path.join(ROOT, "TPU_VALIDATION.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path} ({sum(len(v) for v in suites.values())} configs)")
+
+
+if __name__ == "__main__":
+    main()
