@@ -87,9 +87,9 @@ def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
             mt19937_stream(11, INTS_PER_VALUE), dtype=jnp.uint32)
 
         def step():
-            r = pr.round_kernel(s._device_evals[:, :rows],
+            r = pr.round_kernel(s._device_evals, jnp.int32(rows),
                                 num_points=comp + 1)
-            f = pr.fold_kernel(s._device_evals[:, :rows], challenge)
+            f = pr.fold_kernel(s._device_evals, challenge, jnp.int32(rows))
             return r, f
     else:
         coeff = s._coeffs[1]
@@ -148,7 +148,9 @@ def main():
     except Exception as e:
         print(f"radix2 bench skipped: {e}", file=sys.stderr)
     try:
-        log32 = min(log_h, 20)  # jnp SWAR path; kept small (compile cost)
+        # fused Pallas path (ntt/pallas_fused32.py): fixed-shape compiles,
+        # so the full 2^24 size is cheap to build even through the tunnel
+        log32 = min(log_h, 24)
         bps32, ntt32_s, _ = bench_ntt32(log_h=log32)
         extras["ntt32_2^%d_seconds" % log32] = round(ntt32_s, 6)
         extras["ntt32_butterflies_per_s"] = round(bps32, 1)

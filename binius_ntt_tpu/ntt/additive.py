@@ -98,7 +98,8 @@ class AdditiveNTT:
     FanPaarTowerField<5> instantiation, test_ntt.cu:201-202).
     """
 
-    def __init__(self, log_h: int, log_rate: int = 0, height: int = 5):
+    def __init__(self, log_h: int, log_rate: int = 0, height: int = 5,
+                 use_fused: bool | None = None):
         # validation mirrors AdditiveNTTConf (nttconf.cuh:55-60)
         if not log_h >= 1:
             raise ValueError("log_h must be >= 1")
@@ -114,6 +115,21 @@ class AdditiveNTT:
         self.height = height
 
         rows = precompute_subspace_evals(log_h, log_rate, height)
+        # fused stage-group Pallas path (ntt/pallas_fused32.py): fixed tile
+        # shapes make compile cost size-independent — the per-stage jit path
+        # pays superlinear XLA:TPU compiles at 2^25+ (hours at 2^27+)
+        if use_fused is None:
+            use_fused = (height == 5 and log_h >= 7
+                         and jax.default_backend() not in ("cpu",))
+        self.use_fused = use_fused and height == 5 and log_h >= 7
+        if self.use_fused:
+            from . import pallas_fused32 as pf32
+
+            tables = pf32.build_tables32(rows, log_h, log_rate)
+            self._apply_fused = jax.jit(partial(
+                _apply_fused32_compact, tables=tables, log_h=log_h,
+                log_rate=log_rate))
+            return
         # one twiddle table per stage, indexed by the full indicator
         self._twiddles = tuple(
             jnp.asarray(stage_twiddles(rows[s], log_h + log_rate - 1 - s))
@@ -135,6 +151,8 @@ class AdditiveNTT:
         """
         x = jnp.asarray(x, dtype=jnp.uint32)
         assert x.shape == (1 << self.log_h,)
+        if self.use_fused:
+            return self._apply_fused(x)
         if per_stage_jit is None:
             per_stage_jit = self.log_h >= 22
         if self.log_h < 7:
@@ -156,6 +174,20 @@ class AdditiveNTT:
                 log_rate=self.log_rate, height=self.height)
         data = _transpose_out(data)
         return data.reshape(cosets << self.log_h)
+
+
+def _apply_fused32_compact(x, *, tables, log_h: int, log_rate: int):
+    """Compact (n,) -> fused packed-bitsliced transform -> compact out."""
+    from ..layout.bitslicing import bitslice_transpose, bitslice_untranspose
+    from . import pallas_fused32 as pf32
+
+    n = 1 << log_h
+    cosets = 1 << log_rate
+    sliced = bitslice_transpose(x.reshape(n // 32, 32))
+    packed = sliced.reshape(n // 128, 128)
+    out = pf32.apply_fused32(packed, tables, log_h=log_h, log_rate=log_rate)
+    return bitslice_untranspose(
+        out.reshape(cosets * n // 32, 32)).reshape(-1)
 
 
 @jax.jit

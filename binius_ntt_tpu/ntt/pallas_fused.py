@@ -311,12 +311,16 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
 
     in_specs = [mspec, mspec] + ([lspec] if include_low else [])
     args = (mtile, minst) + ((lanes,) if include_low else ())
+    n_in = len(args) + 1
+    # write each tile in place (the butterfly consumes its input block):
+    # halves the double-buffered block footprint and the HBM allocations
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs + [bspec],
         out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct(x5.shape, x5.dtype),
+        input_output_aliases={n_in - 1: 0},
     )(*args, x5)
     return out.reshape(x.shape)
 

@@ -22,8 +22,16 @@ TPU-first improvements over a literal translation:
   * The challenge fold multiplies by a value constant across the whole
     array: its Karatsuba forward expansion runs in scalar registers.
 
-All kernels compile per round size (buffers shrink as the protocol folds);
-the persistent compilation cache makes repeat protocols free.
+Fixed-shape dispatch: the evaluation buffer keeps its full (C, B, 128)
+shape for the whole protocol and the *live* row count arrives as a
+scalar-prefetch argument; index maps clamp dead grid steps onto the last
+live block (same block index on consecutive steps -> Pallas skips the DMA),
+and predicated writes keep dead steps from touching the accumulators.  One
+compile therefore serves every round of a protocol — the previous
+per-round-shape variant paid one remote Mosaic compile per round (~20 s/
+round through the axon tunnel, dwarfing the actual compute).  Rounds too
+small to fill one tile fall back to the prover's jnp while_loop kernels
+(also fixed-shape).
 """
 
 from __future__ import annotations
@@ -82,29 +90,42 @@ def _stack_t(pl_list):
     return jnp.stack(pl_list).T          # (T, W)
 
 
-@functools.partial(jax.jit, static_argnames=("num_points",))
-def round_kernel(evals, *, num_points: int):
-    """One sumcheck round over evals (C, rows, 128), rows = live rows.
+def round_tile(c: int, b: int) -> int:
+    """Row-tile size: scales down with composition size (VMEM: double-
+    buffered input blocks + plane lists + the ~510-plane multiply live set
+    must fit the 16MB scoped budget; measured: c=2 t=1024 16.55M,
+    c=3 t=512 16.01M)."""
+    return min({2: T // 2, 3: T // 4}.get(c, T // 8), b // 2)
 
+
+@functools.partial(jax.jit, static_argnames=("num_points",))
+def round_kernel(evals, rows, *, num_points: int):
+    """One sumcheck round over the first `rows` rows of evals (C, B, 128).
+
+    rows: traced int32, must be a multiple of 2 * round_tile(C, B) (the
+    prover dispatches smaller rounds to its jnp while_loop kernel).
     Returns (1 + num_points, 128) batch sums [total, p0, p1, p2...].
     """
-    c, rows, _ = evals.shape
-    half = rows // 2
-    # tile size scales down with composition size (VMEM: double-buffered
-    # input blocks + plane lists + the ~510-plane multiply live set must fit
-    # the 16MB scoped budget; measured: c=2 t=1024 16.55M, c=3 t=512 16.01M)
-    t = min({2: T // 2, 3: T // 4}.get(c, T // 8), half)
-    grid = half // t
+    c, b, _ = evals.shape
+    t = round_tile(c, b)
+    grid = b // (2 * t)
+    live = rows // (2 * t)               # live tiles this round (>= 1)
     n_extra = num_points - 2             # points >= 2 need real folds
     mats = [_fold_matrix(p) for p in range(2, num_points)]
 
-    lo_spec = pl.BlockSpec((c, t, W), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM)
-    up_spec = pl.BlockSpec((c, t, W), lambda i: (0, i + grid, 0),
-                           memory_space=pltpu.VMEM)
+    # dead grid steps (i >= live) clamp onto the last live block: the block
+    # index repeats on consecutive steps, so Pallas skips the re-fetch
+    lo_spec = pl.BlockSpec(
+        (c, t, W),
+        lambda i, lv: (0, jnp.minimum(i, lv[0] - 1), 0),
+        memory_space=pltpu.VMEM)
+    up_spec = pl.BlockSpec(
+        (c, t, W),
+        lambda i, lv: (0, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0),
+        memory_space=pltpu.VMEM)
     # accumulator tiles are pre-reduced to 8 sublane rows: keeps the
     # double-buffered output block tiny (grid > 1 doubles block footprints)
-    acc_spec = pl.BlockSpec((1 + num_points, 8, W), lambda i: (0, 0, 0),
+    acc_spec = pl.BlockSpec((1 + num_points, 8, W), lambda i, lv: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def _acc_tile(pl_list):
@@ -116,82 +137,111 @@ def round_kernel(evals, *, num_points: int):
             x = x[:half_n] ^ x[half_n:]
         return x[0]
 
-    def kern(lo_ref, up_ref, acc_ref):
-        low_pl = [_planes(lo_ref[cc]) for cc in range(c)]
-        up_pl = [_planes(up_ref[cc]) for cc in range(c)]
-        comp_lo = _comp(low_pl)          # == fold at point 0
-        comp_up = _comp(up_pl)           # == fold at point 1
-        accs = [
-            _acc_tile([a ^ b for a, b in zip(comp_lo, comp_up)]),  # total
-            _acc_tile(comp_lo),
-            _acc_tile(comp_up),
-        ]
-        if n_extra:
-            xh_pl = [[a ^ b for a, b in zip(low_pl[cc], up_pl[cc])]
-                     for cc in range(c)]
-            for mat in mats:
-                folded = [_fold_point_planes(low_pl[cc], xh_pl[cc], mat)
-                          for cc in range(c)]
-                accs.append(_acc_tile(_comp(folded)))
-        new = jnp.stack(accs)            # (1+P, 8, W)
+    def kern(lv_ref, lo_ref, up_ref, acc_ref):
+        i = pl.program_id(0)
+        lv = lv_ref[0]
 
-        @pl.when(pl.program_id(0) == 0)
-        def _init():
-            acc_ref[:] = new
+        @pl.when(i < lv)
+        def _work():
+            low_pl = [_planes(lo_ref[cc]) for cc in range(c)]
+            up_pl = [_planes(up_ref[cc]) for cc in range(c)]
+            comp_lo = _comp(low_pl)          # == fold at point 0
+            comp_up = _comp(up_pl)           # == fold at point 1
+            accs = [
+                _acc_tile([a ^ b for a, b in zip(comp_lo, comp_up)]),
+                _acc_tile(comp_lo),
+                _acc_tile(comp_up),
+            ]
+            if n_extra:
+                xh_pl = [[a ^ b for a, b in zip(low_pl[cc], up_pl[cc])]
+                         for cc in range(c)]
+                for mat in mats:
+                    folded = [_fold_point_planes(low_pl[cc], xh_pl[cc], mat)
+                              for cc in range(c)]
+                    accs.append(_acc_tile(_comp(folded)))
+            new = jnp.stack(accs)            # (1+P, 8, W)
 
-        @pl.when(pl.program_id(0) != 0)
-        def _acc():
-            acc_ref[:] = acc_ref[:] ^ new
+            @pl.when(i == 0)
+            def _init():
+                acc_ref[:] = new
 
-    acc = pl.pallas_call(
-        kern,
+            @pl.when(i != 0)
+            def _acc():
+                acc_ref[:] = acc_ref[:] ^ new
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[lo_spec, up_spec],
         out_specs=acc_spec,
+    )
+    acc = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1 + num_points, 8, W), jnp.uint32),
-    )(evals, evals)
+    )(jnp.asarray(live, jnp.int32).reshape(1), evals, evals)
     return jax.lax.reduce(acc, jnp.uint32(0), jax.lax.bitwise_xor, (1,))
 
 
+def fold_tile(c: int, b: int) -> int:
+    """Fold-kernel row tile (same VMEM discipline as round_tile)."""
+    return min(T // 2 if c == 2 else T // 4, b // 2)
+
+
 @jax.jit
-def fold_kernel(evals, coeff_words):
-    """Challenge fold: (C, rows, 128) -> (C, rows//2, 128).
+def fold_kernel(evals, coeff_words, rows):
+    """Challenge fold of the first `rows` rows: (C, B, 128) -> (C, B, 128)
+    with rows//2 folded rows at the front (the stale tail is never read —
+    same convention as the reference folding at original stride,
+    kernels.cu:20-28).
 
     coeff_words: (4,) uint32 — the 128-bit challenge (constant across the
     array, so its bit-planes are scalars inside the kernel).
+    rows: traced int32, multiple of 2 * fold_tile(C, B).
     """
-    c, rows, _ = evals.shape
-    half = rows // 2
-    # same VMEM discipline as round_kernel (t=1024 c=2 measured 18.03M)
-    t = min(T // 2 if c == 2 else T // 4, half)
-    grid = half // t
+    c, b, _ = evals.shape
+    t = fold_tile(c, b)
+    grid = b // (2 * t)
+    live = rows // (2 * t)
 
     # 128 scalar planes: bit i of the challenge -> 0 / 0xFFFFFFFF
     bits = (coeff_words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
     planes = (jnp.uint32(0) - bits.reshape(W)).reshape(1, W)
 
-    lo_spec = pl.BlockSpec((c, t, W), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM)
-    up_spec = pl.BlockSpec((c, t, W), lambda i: (0, i + grid, 0),
-                           memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((1, W), lambda i: (0, 0),
+    lo_spec = pl.BlockSpec(
+        (c, t, W),
+        lambda i, lv: (0, jnp.minimum(i, lv[0] - 1), 0),
+        memory_space=pltpu.VMEM)
+    up_spec = pl.BlockSpec(
+        (c, t, W),
+        lambda i, lv: (0, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0),
+        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, W), lambda i, lv: (0, 0),
                           memory_space=pltpu.VMEM)
 
-    def kern(w_ref, lo_ref, up_ref, out_ref):
-        pa = [w_ref[0, i] for i in range(W)]     # scalar planes
-        for cc in range(c):
-            lo = lo_ref[cc]
-            xh_pl = _planes(lo ^ up_ref[cc])
-            prod = _mul_planes(pa, xh_pl, HEIGHT)
-            out_ref[cc] = lo ^ _stack_t(prod)
+    def kern(lv_ref, w_ref, lo_ref, up_ref, out_ref):
+        i = pl.program_id(0)
 
-    return pl.pallas_call(
-        kern,
+        @pl.when(i < lv_ref[0])
+        def _work():
+            pa = [w_ref[0, i2] for i2 in range(W)]   # scalar planes
+            for cc in range(c):
+                lo = lo_ref[cc]
+                xh_pl = _planes(lo ^ up_ref[cc])
+                prod = _mul_planes(pa, xh_pl, HEIGHT)
+                out_ref[cc] = lo ^ _stack_t(prod)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[w_spec, lo_spec, up_spec],
         out_specs=lo_spec,
-        out_shape=jax.ShapeDtypeStruct((c, half, W), jnp.uint32),
-    )(planes, evals, evals)
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, b, W), jnp.uint32),
+    )(jnp.asarray(live, jnp.int32).reshape(1), planes, evals, evals)
 
 
 def round_emulate(evals, *, num_points: int):

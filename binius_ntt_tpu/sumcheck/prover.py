@@ -296,12 +296,16 @@ class Sumcheck:
         num = self._num_evals
         if num > 32:
             rows = num // 32
-            if _use_pallas() and rows >= 16:
-                # fused Pallas round: one kernel, partial sums in VMEM
+            b = self._device_evals.shape[1]
+            use_pl = _use_pallas()
+            if use_pl:
                 from . import pallas_round as pr
-
+            if use_pl and rows >= 2 * pr.round_tile(
+                    self.composition_size, b):
+                # fused Pallas round: fixed buffer shape + scalar-prefetched
+                # live-tile count -> ONE compile serves every round
                 parts = np.asarray(pr.round_kernel(
-                    self._device_evals[:, :rows],
+                    self._device_evals, jnp.int32(rows),
                     num_points=self.num_points))
             else:
                 parts = np.asarray(_round_kernel_tiled(
@@ -336,11 +340,15 @@ class Sumcheck:
 
         if num > 32:
             rows = num // 32
-            if _use_pallas() and rows >= 16:
+            b = self._device_evals.shape[1]
+            use_pl = _use_pallas()
+            if use_pl:
                 from . import pallas_round as pr
-
+            if use_pl and rows >= 2 * pr.fold_tile(
+                    self.composition_size, b):
                 self._device_evals = pr.fold_kernel(
-                    self._device_evals[:, :rows], jnp.asarray(challenge))
+                    self._device_evals, jnp.asarray(challenge),
+                    jnp.int32(rows))
             else:
                 coeff = repeat_value_bitsliced(challenge, BITS_WIDTH)
                 self._device_evals = _fold_kernel_tiled(
