@@ -52,7 +52,8 @@ def _geometric_powers(base: int, count: int, p: int) -> np.ndarray:
 class NTTRadix2:
     """Radix-2 NTT over BB31 with generator `g` of order 2^log_group_order."""
 
-    def __init__(self, generator: int, log_group_order: int, log_n: int):
+    def __init__(self, generator: int, log_group_order: int, log_n: int,
+                 use_fused: bool | None = None):
         # validation mirrors NTTConfRad2 (nttconf.cuh:32-39)
         if not 1 <= log_n <= 27:
             raise ValueError("log_n must be in [1, 27]")
@@ -69,6 +70,22 @@ class NTTRadix2:
         self._tw_mont = jnp.asarray(bb.encode_host(tw))
         self._bitrev = jnp.asarray(bit_reverse_indices(log_n))
         self._apply = partial(_radix2_apply, log_n=log_n)
+        # fused stage-group Pallas path (ntt/pallas_fused_bb31.py): whole
+        # DIF ladder in ~2 HBM passes with size-independent compile cost
+        if use_fused is None:
+            use_fused = (log_n >= 7
+                         and jax.default_backend() not in ("cpu",))
+        self.use_fused = use_fused and log_n >= 7
+        if self.use_fused:
+            from . import pallas_fused_bb31 as pfb
+
+            tables = pfb.build_tables_r2(
+                np.asarray(bb.encode_host(tw)), log_n)
+            self._apply_fused = jax.jit(partial(
+                pfb.apply_fused_r2, tables=tables, log_n=log_n))
+            lg_b = log_n // 2
+            self._rev_a = jnp.asarray(bit_reverse_indices(log_n - lg_b))
+            self._rev_b = jnp.asarray(bit_reverse_indices(lg_b))
 
     def apply(self, x, input_bit_reversed: bool = False,
               per_stage_jit: bool | None = None):
@@ -85,6 +102,11 @@ class NTTRadix2:
         """
         x = jnp.asarray(x, dtype=jnp.uint32)
         assert x.shape == (1 << self.log_n,)
+        if self.use_fused:
+            if not input_bit_reversed:
+                x = _bitrev_split(x, self._rev_a, self._rev_b,
+                                  log_n=self.log_n)
+            return self._apply_fused(x)
         if per_stage_jit is None:
             per_stage_jit = self.log_n >= 22
         if self.log_n < 7:
@@ -105,6 +127,26 @@ class NTTRadix2:
         for s in range(n_small, self.log_n):
             x = _radix2_stage(x, self._tw_mont, s=s, log_n=self.log_n)
         return _decode_stage(x)
+
+
+@jax.jit
+def _bitrev_stage(x, bitrev):
+    return x[bitrev]
+
+
+@partial(jax.jit, static_argnames=("log_n",))
+def _bitrev_split(x, rev_a, rev_b, *, log_n: int):
+    """Bit-reversal as two ROW gathers + one 2-D transpose.
+
+    A flat gather x[bitrev] moves one element per row on TPU (~150 ms at
+    2^24); splitting i = b'*2^lgA + a' gives rev(i) = rev_A(a')*2^lgB +
+    rev_B(b'), so the permutation factors into row-wise gathers of
+    contiguous 8-16KB rows (fast DMA) around a transpose.
+    """
+    lg_b = log_n // 2
+    lg_a = log_n - lg_b
+    y = x.reshape(1 << lg_a, 1 << lg_b)[rev_a]
+    return y.T[rev_b].reshape(1 << log_n)
 
 
 @jax.jit

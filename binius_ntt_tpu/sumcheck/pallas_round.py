@@ -188,7 +188,7 @@ def fold_tile(c: int, b: int) -> int:
     return min(T // 2 if c == 2 else T // 4, b // 2)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def fold_kernel(evals, coeff_words, rows):
     """Challenge fold of the first `rows` rows: (C, B, 128) -> (C, B, 128)
     with rows//2 folded rows at the front (the stale tail is never read —
@@ -237,10 +237,17 @@ def fold_kernel(evals, coeff_words, rows):
         in_specs=[w_spec, lo_spec, up_spec],
         out_specs=lo_spec,
     )
+    # fold in place: written lo blocks [0, live) never overlap the up blocks
+    # [live, 2*live) still to be read, so aliasing the evals buffer onto the
+    # output halves peak HBM — required for the 2^28-evaluation protocol
+    # (8 GB state; the reference's 28-var config OOMs a 16 GB GPU,
+    # SURVEY §4).  Alias indices count ALL operands including the
+    # scalar-prefetch argument: (live, planes, evals, evals) -> index 2.
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, b, W), jnp.uint32),
+        input_output_aliases={2: 0},
     )(jnp.asarray(live, jnp.int32).reshape(1), planes, evals, evals)
 
 

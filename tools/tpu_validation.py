@@ -45,6 +45,18 @@ def _setup_cache():
     setup_compile_cache()
 
 
+def _retry(fn, tries: int = 3, wait: float = 20.0):
+    """Retry through transient tunnel/remote-compile failures (HTTP 5xx)."""
+    for a in range(tries):
+        try:
+            return fn()
+        except Exception as e:                        # noqa: BLE001
+            if a == tries - 1:
+                raise
+            print(f"retry {a + 1}/{tries} after: {e}", flush=True)
+            time.sleep(wait)
+
+
 def run_additive(lo: int, hi: int, rates=(0, 2)):
     from golden_hashes import ADDITIVE_NTT_HASHES
     from binius_ntt_tpu.ntt.additive import AdditiveNTT
@@ -57,7 +69,8 @@ def run_additive(lo: int, hi: int, rates=(0, 2)):
                 continue
             x = mt19937_stream(0xDEADBEEF + log_h + rate, 1 << log_h)
             t0 = time.time()
-            out = np.asarray(AdditiveNTT(log_h, rate).apply(x))
+            out = _retry(
+                lambda: np.asarray(AdditiveNTT(log_h, rate).apply(x)))
             dt = time.time() - t0
             got = _digest(out)
             _emit({"suite": "additive_ntt32", "log_h": log_h, "rate": rate,
@@ -77,7 +90,7 @@ def run_bb31(lo: int, hi: int):
             continue
         inp = mt19937_stream(0xDEADBEEF + log_len, 1 << log_len)
         t0 = time.time()
-        out = np.asarray(NTTRadix2(137, 27, log_len).apply(inp))
+        out = _retry(lambda: np.asarray(NTTRadix2(137, 27, log_len).apply(inp)))
         dt = time.time() - t0
         got = _digest(out)
         _emit({"suite": "bb31_ntt", "log_len": log_len, "golden": want,
