@@ -86,10 +86,12 @@ def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
         challenge = jnp.asarray(
             mt19937_stream(11, INTS_PER_VALUE), dtype=jnp.uint32)
 
+        fold_nodonate = jax.jit(pr.fold_kernel_impl)
+
         def step():
             r = pr.round_kernel(s._device_evals, jnp.int32(rows),
                                 num_points=comp + 1)
-            f = pr.fold_kernel(s._device_evals, challenge, jnp.int32(rows))
+            f = fold_nodonate(s._device_evals, challenge, jnp.int32(rows))
             return r, f
     else:
         coeff = s._coeffs[1]

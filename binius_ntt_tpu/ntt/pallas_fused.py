@@ -38,7 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import HEIGHT, W, _LANE_MASKS, _mul_planes, _mul_vmem_sl
+from .pallas_kernels import (HEIGHT, W, _LANE_MASKS, _mul_planes, _mul_vmem,
+                             _mul_vmem_sl)
 
 IPV = W // 32
 
@@ -175,13 +176,21 @@ def make_group_tables(rows, log_h: int, log_rate: int, t0: int, k: int,
     return (mtile, minst, lanes, tuple(zero))
 
 
-def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
-                include_low: bool, zero_flags: tuple = ()):
+def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
+                pt: int, include_low: bool, zero_flags: tuple = (),
+                mul=_mul_vmem_sl):
     """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32 scalar.
 
     Pure jnp — called from the Pallas kernel AND (jitted directly) from the
     CPU emulation used by the tests.  zero_flags[st] marks stages whose
     twiddle is identically zero (top stage at rate 0): no multiply there.
+    dpl: optional (n_stages, 128) per-shard twiddle-correction planes (the
+    device-index bits of the indicator, GF(2)-linear like everything else —
+    see parallel/ntt128_sharded.py).
+    mul: the tile multiply.  The Pallas kernel uses the straight-line form;
+    jitted CPU emulation (shard_map tests) passes the compact stacked form
+    _mul_vmem — identical field math, ~100 ops instead of ~15k, which
+    XLA:CPU can actually compile.
     """
     kk = 1 << k
     jt = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
@@ -201,6 +210,8 @@ def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
         else:
             wfull = (_parity_planes(jt >> (r + 1), mtile[st])
                      ^ _parity_planes(q, minst[st])[None, :])
+            if dpl is not None:
+                wfull = wfull ^ dpl[st][None, :]
             # twiddle of the u element at tile index j depends only on bits
             # above r, so the u-half slice [(blocks, 2, span, W)][:, 0]
             # carries exactly one value per butterfly block
@@ -214,7 +225,7 @@ def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
                 wu = wfull.reshape(blocks, 2, span, W)[:, 0]
                 wB = jnp.broadcast_to(
                     wu[:, :, None, :], (blocks, span, pt, W))
-                u2 = u ^ _mul_vmem_sl(
+                u2 = u ^ mul(
                     wB.reshape(blocks * span * pt, W), v)
         v2 = u2 ^ v
         xt = jnp.concatenate(
@@ -241,12 +252,14 @@ def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
                 wrow = (_parity_planes(jt, mtile[st])
                         ^ _parity_planes(q, minst[st])[None, :]
                         ^ lanes[i][None, :])      # (kk, W)
+                if dpl is not None:
+                    wrow = wrow ^ dpl[st][None, :]
                 w2 = wrow.reshape(kk // 2, 2, W)
                 # composite: even batch's v-values in u-slots, odd batch's
                 # in v-slots; twiddles arranged to match
                 comp = ((x0 >> shift) & um) | (x1 & vm)
                 wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
-                prod = _mul_vmem_sl(wcmp, comp)
+                prod = mul(wcmp, comp)
                 un0 = x0 ^ (prod & um)
                 un1 = x1 ^ ((prod & vm) >> shift)
             y0 = (un0 & um) | ((x0 ^ (un0 << shift)) & vm)
@@ -260,6 +273,7 @@ def _group_body(xt, q, mtile, minst, lanes, *, log_h: int, k: int, pt: int,
 
 def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
                 include_low: bool, cosets: int, zero_flags: tuple = (),
+                log_nb: int | None = None, dplanes=None,
                 emulate: bool = False):
     """Run one stage group over x: (cosets, nb, 128) -> same shape.
 
@@ -267,9 +281,13 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
     4..0.  One HBM read + one write of x; twiddles generated in VMEM.
     ``emulate=True`` runs the same tile math as a vmapped jnp program
     (CPU-testable) instead of a pallas_call.
+    ``log_nb`` overrides the batch-bit count (a sharded caller passes its
+    LOCAL batch count); ``dplanes`` (n_stages, 128) XORs a per-shard
+    twiddle correction into every stage (see parallel/ntt128_sharded.py).
     """
     _, nb, _ = x.shape
-    log_nb = log_h - 5
+    if log_nb is None:
+        log_nb = log_h - 5
     pre = 1 << (log_nb - t0 - k)
     post = 1 << t0
     pt = min(PT, post)
@@ -283,8 +301,11 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
     if emulate:
         xt = x5.reshape(n_inst, kk, post // pt, pt, W).transpose(0, 2, 1, 3, 4)
         qs = jnp.arange(n_inst, dtype=jnp.uint32)
+        # stacked multiply: identical field math, ~100 ops instead of the
+        # 15k-op straight-line body — jitted CPU tests compile in seconds
         fn = jax.vmap(jax.vmap(
-            lambda t, q: body(t, q, mtile, minst, lanes),
+            lambda t, q: body(t, q, mtile, minst, lanes, dplanes,
+                              mul=_mul_vmem),
             in_axes=(0, None)), in_axes=(0, 0))
         out = fn(xt, qs)
         out = out.transpose(0, 2, 1, 3, 4).reshape(x5.shape)
@@ -298,19 +319,24 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
     lspec = (pl.BlockSpec(lanes.shape, lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
              if include_low else None)
+    dspec = (pl.BlockSpec(dplanes.shape, lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+             if dplanes is not None else None)
 
     def kern(*refs):
-        if include_low:
-            mtile_ref, minst_ref, lanes_ref, x_ref, out_ref = refs
-            lns = lanes_ref[:]
-        else:
-            mtile_ref, minst_ref, x_ref, out_ref = refs
-            lns = None
+        refs = list(refs)
+        mtile_ref = refs.pop(0)
+        minst_ref = refs.pop(0)
+        lns = refs.pop(0)[:] if include_low else None
+        dpl = refs.pop(0)[:] if dplanes is not None else None
+        x_ref, out_ref = refs
         q = pl.program_id(0).astype(jnp.uint32)   # (coset << pre_bits) | pre
-        out_ref[0] = body(x_ref[0], q, mtile_ref[:], minst_ref[:], lns)
+        out_ref[0] = body(x_ref[0], q, mtile_ref[:], minst_ref[:], lns, dpl)
 
-    in_specs = [mspec, mspec] + ([lspec] if include_low else [])
-    args = (mtile, minst) + ((lanes,) if include_low else ())
+    in_specs = ([mspec, mspec] + ([lspec] if include_low else [])
+                + ([dspec] if dplanes is not None else []))
+    args = ((mtile, minst) + ((lanes,) if include_low else ())
+            + ((dplanes,) if dplanes is not None else ()))
     n_in = len(args) + 1
     # write each tile in place (the butterfly consumes its input block):
     # halves the double-buffered block footprint and the HBM allocations
@@ -352,4 +378,109 @@ def build_tables(rows, log_h: int, log_rate: int):
                     jnp.asarray(mtile), jnp.asarray(minst),
                     None if lanes is None else jnp.asarray(lanes),
                     zero_flags))
+    return tuple(out)
+
+
+def _dtable(constants, offset: int, cnt: int, log_d: int) -> np.ndarray:
+    """Doubling table of 128-bit indicator contributions of the device
+    bits: row d = XOR over set bits m of d of constants[offset+m], as
+    (2^log_d, 4) uint32 words (bits beyond cnt contribute nothing)."""
+    tab = np.zeros((1, IPV), dtype=np.uint32)
+    for m in range(max(cnt, 0)):
+        c = int(constants[offset + m])
+        cw = np.array([(c >> (32 * i)) & 0xFFFFFFFF for i in range(IPV)],
+                      dtype=np.uint32)
+        tab = np.concatenate([tab, tab ^ cw[None]])
+    return np.tile(tab, (1 << (log_d - max(cnt, 0)), 1))
+
+
+def make_group_tables_sharded(rows, log_h: int, log_rate: int, t0: int,
+                              k: int, include_low: bool, log_d: int):
+    """Mask tables for one LOCAL stage group of a block-sharded transform.
+
+    Device d of 2^log_d holds batches [d*nb_l, (d+1)*nb_l); a local stage
+    s = 5+t0+r sees the indicator
+      coset << (log_h-1-s) | d << (m0+pre_bits_l) | p << m0 | tile_bits
+    (p = the local pre index).  mtile is unchanged; minst packs the p part
+    at q bits [0, pre_bits_l) and the coset part at [pre_bits_l, ...)
+    (matching q = coset << pre_bits_l | p under shard_map); the d bits —
+    GF(2)-linear like everything else — become a per-device 128-bit
+    correction looked up in a (n_stages, 2^log_d, 4) doubling table and
+    XORed into the kernel's parity planes (the ``dplanes`` operand).
+    """
+    log_nb_l = log_h - 5 - log_d
+    pre_bits_l = log_nb_l - t0 - k
+    mtile, minst, dtab = [], [], []
+
+    def masks_split(s, base_off):
+        nbits = log_h + log_rate - 1 - s
+        p_cnt = max(min(pre_bits_l, nbits - base_off), 0)
+        d_off = base_off + pre_bits_l
+        d_cnt = max(min(log_d, nbits - d_off), 0)
+        c_off = d_off + log_d
+        c_cnt = max(nbits - c_off, 0)
+        mi = (_bit_masks(rows[s], base_off, p_cnt)
+              | (_bit_masks(rows[s], c_off, c_cnt) << np.uint32(pre_bits_l)))
+        return mi, _dtable(rows[s], d_off, d_cnt, log_d)
+
+    for r in range(k - 1, -1, -1):
+        s = 5 + t0 + r
+        m0 = k - 1 - r
+        nbits = log_h + log_rate - 1 - s
+        mtile.append(_bit_masks(rows[s], 0, min(m0, nbits)))
+        mi, dt = masks_split(s, m0)
+        minst.append(mi)
+        dtab.append(dt)
+    lanes = None
+    if include_low:
+        lane_list = []
+        for s in range(min(log_h - 1, 4), -1, -1):
+            nbits = log_h + log_rate - 1 - s
+            lane_bits = min(4 - s, nbits)
+            mtile.append(_bit_masks(rows[s], lane_bits,
+                                    min(k, max(nbits - lane_bits, 0))))
+            mi, dt = masks_split(s, lane_bits + k)
+            minst.append(mi)
+            dtab.append(dt)
+            vals = np.zeros(32, dtype=object)
+            for j in range(32):
+                v = 0
+                jj = j >> (s + 1)
+                for m in range(lane_bits):
+                    if (jj >> m) & 1:
+                        v ^= rows[s][m]
+                vals[j] = v
+            planes = np.zeros(W, dtype=np.uint32)
+            for i in range(W):
+                acc = 0
+                for j in range(32):
+                    acc |= ((int(vals[j]) >> i) & 1) << j
+                planes[i] = acc
+            lane_list.append(planes)
+        lanes = np.stack(lane_list)
+    mtile = np.stack(mtile)
+    minst = np.stack(minst)
+    dtab = np.stack(dtab)
+    n_high = k
+    zero = []
+    for st in range(mtile.shape[0]):
+        z = (not mtile[st].any() and not minst[st].any()
+             and not dtab[st].any())
+        if st >= n_high and lanes is not None:
+            z = z and not lanes[st - n_high].any()
+        zero.append(z)
+    return (mtile, minst, lanes, tuple(zero), dtab)
+
+
+def build_tables_sharded(rows, log_h: int, log_rate: int, log_d: int):
+    """Per-LOCAL-group tables for a 2^log_d-way block-sharded transform,
+    ordered for execution (top group first)."""
+    out = []
+    for (t0, k, include_low) in reversed(plan_groups(log_h - 5 - log_d)):
+        mtile, minst, lanes, zero_flags, dtab = make_group_tables_sharded(
+            rows, log_h, log_rate, t0, k, include_low, log_d)
+        out.append((t0, k, include_low,
+                    jnp.asarray(mtile), jnp.asarray(minst),
+                    None if lanes is None else jnp.asarray(lanes),
+                    zero_flags, jnp.asarray(dtab)))
     return tuple(out)

@@ -50,7 +50,10 @@ N_LANE = 7            # stages 0..6 are lane-local
 # Mosaic's scoped-VMEM stack holds ~25 tile-sized temporaries through the
 # stage chain (measured: KB=12 -> 53M scoped vs the 16M v5e limit), so
 # tiles stay at 1MB despite the butterfly's tiny live set.
-KB = 10
+# KB=10 compiled at 2^20/2^24 but hit 20.5M scoped vmem at the single-
+# instance boundary size 2^17 (Mosaic allocates more without grid
+# pipelining headroom) — KB=9 holds everywhere.
+KB = 9
 KU = 8
 PT = 8          # second-to-last block dim must be divisible by 8
 

@@ -42,7 +42,14 @@ __all__ = ["ShardedAdditiveNTT128"]
 
 
 class ShardedAdditiveNTT128:
-    def __init__(self, log_h: int, log_rate: int, mesh):
+    """use_fused=True (default) runs the shard-LOCAL stages through the
+    stage-group-fused kernel (ntt/pallas_fused.py) — the same 2-3 HBM
+    passes as single-chip, with the device-index twiddle contribution
+    XORed in as a per-shard correction plane (Pallas on TPU, the vmapped
+    emulation on CPU meshes)."""
+
+    def __init__(self, log_h: int, log_rate: int, mesh,
+                 use_fused: bool = True):
         self.log_h = log_h
         self.log_rate = log_rate
         self.mesh = mesh
@@ -51,8 +58,21 @@ class ShardedAdditiveNTT128:
         assert 1 << self.log_d == n_dev
         nb = (1 << log_h) // 32
         assert nb >= 2 * n_dev, "need >= 2 batches per device"
+        self.use_fused = use_fused and (log_h - 5 - self.log_d) >= 0
 
         rows = precompute_subspace_evals(log_h, log_rate, HEIGHT)
+        fused_groups = None
+        self._fused_arrays = ()
+        if self.use_fused:
+            from ..ntt import pallas_fused as pf
+
+            tables = pf.build_tables_sharded(rows, log_h, log_rate,
+                                             self.log_d)
+            fused_groups = tuple((t0, k, low, zf)
+                                 for (t0, k, low, _, _, _, zf, _) in tables)
+            self._fused_arrays = tuple(
+                (mt, mi, ln, dt)
+                for (_, _, _, mt, mi, ln, _, dt) in tables)
         high_tables = {}
         low_batch_tables = {}
         low_lane_planes = {}
@@ -82,9 +102,11 @@ class ShardedAdditiveNTT128:
         self._data_sharding = NamedSharding(mesh, Pspec(None, AXIS, None))
         self._apply = jax.jit(jax.shard_map(
             partial(_sharded_apply128, log_h=log_h, log_rate=log_rate,
-                    log_d=self.log_d),
+                    log_d=self.log_d, fused_groups=fused_groups,
+                    fused_emulate=jax.default_backend() in ("cpu",)),
             mesh=mesh,
-            in_specs=(Pspec(None, AXIS, None), Pspec(), Pspec(), Pspec()),
+            in_specs=(Pspec(None, AXIS, None), Pspec(), Pspec(), Pspec(),
+                      Pspec()),
             out_specs=Pspec(None, AXIS, None),
         ))
 
@@ -102,7 +124,7 @@ class ShardedAdditiveNTT128:
         x = jax.device_put(host, self._data_sharding)
         high, lowb, lowl = self._tables
         out = self._apply(x, _dict_to_tuple(high), _dict_to_tuple(lowb),
-                          _dict_to_tuple(lowl))
+                          _dict_to_tuple(lowl), self._fused_arrays)
         return out.reshape(cosets * nb, W)
 
 
@@ -110,14 +132,16 @@ def _dict_to_tuple(d):
     return tuple(d[k] for k in sorted(d))
 
 
-def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
-                      log_h: int, log_rate: int, log_d: int):
+def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes,
+                      fused_arrays=(), *, log_h: int, log_rate: int,
+                      log_d: int, fused_groups=None, fused_emulate=False):
     """Per-device body. x: (C, Sb, 128) local batches."""
     n = 1 << log_h
     nb = n // 32
     cosets = 1 << log_rate
     n_dev = 1 << log_d
     sb = nb // n_dev
+    log_nb_l = log_h - 5 - log_d
     d = jax.lax.axis_index(AXIS)
     coset_ids = jnp.arange(cosets, dtype=jnp.uint32)
 
@@ -126,7 +150,8 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
     lowl = {s: t for s, t in zip(range(min(log_h, 5)), low_lane_planes)}
 
     # ---- high stages ----
-    for s in range(log_h - 1, 4, -1):
+    local_floor = 5 if fused_groups is None else 5 + log_nb_l
+    for s in range(log_h - 1, local_floor - 1, -1):
         db = 1 << (s - 5)
         if db >= sb:
             # cross-device: partner shard exchange
@@ -164,6 +189,25 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes, *,
             u2 = u ^ _mul128(jnp.broadcast_to(wp, v.shape), v)
             v2 = u2 ^ v
             x = jnp.stack([u2, v2], axis=2).reshape(cosets, sb, W)
+
+    if fused_groups is not None:
+        # shard-local stages via the fused stage-group kernel: same 2-3
+        # HBM passes as single-chip; the device-index part of every
+        # twiddle indicator arrives as per-stage correction planes looked
+        # up in the doubling table at this device's axis_index
+        from ..ntt import pallas_fused as pf
+
+        for (t0, k, include_low, zf), (mt, mi, ln, dt) in zip(
+                fused_groups, fused_arrays):
+            n_st = mt.shape[0]
+            dvec = jax.lax.dynamic_slice(
+                dt, (0, d, 0), (n_st, 1, IPV)).reshape(n_st, IPV)
+            dpl = _expand_bits(dvec)
+            x = pf.stage_group(
+                x, mt, mi, ln, log_h=log_h, t0=t0, k=k,
+                include_low=include_low, cosets=cosets, zero_flags=zf,
+                log_nb=log_nb_l, dplanes=dpl, emulate=fused_emulate)
+        return x
 
     # ---- low stages (always local) ----
     for s in range(min(log_h - 1, 4), -1, -1):

@@ -188,8 +188,7 @@ def fold_tile(c: int, b: int) -> int:
     return min(T // 2 if c == 2 else T // 4, b // 2)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def fold_kernel(evals, coeff_words, rows):
+def fold_kernel_impl(evals, coeff_words, rows):
     """Challenge fold of the first `rows` rows: (C, B, 128) -> (C, B, 128)
     with rows//2 folded rows at the front (the stale tail is never read —
     same convention as the reference folding at original stride,
@@ -249,6 +248,13 @@ def fold_kernel(evals, coeff_words, rows):
         out_shape=jax.ShapeDtypeStruct((c, b, W), jnp.uint32),
         input_output_aliases={2: 0},
     )(jnp.asarray(live, jnp.int32).reshape(1), planes, evals, evals)
+
+
+# The production entry donates the buffer (the protocol rebinds it every
+# round, and donation + the in-kernel aliasing keep peak HBM at one copy).
+# Callers that reuse a buffer across calls (benchmarks) must jit
+# fold_kernel_impl themselves without donation.
+fold_kernel = jax.jit(fold_kernel_impl, donate_argnums=(0,))
 
 
 def round_emulate(evals, *, num_points: int):

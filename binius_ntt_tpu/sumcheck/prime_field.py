@@ -29,23 +29,48 @@ __all__ = ["PrimeFieldSumcheck", "interpolate_at_host"]
 ONE_HALF = 0x40000000  # 2^30 == 1/2 mod P (prime_field_sumcheck/utils/interpolate.hpp:3)
 
 
+# Fixed-shape kernels: the buffer keeps its full (2, B, 4) shape for the
+# whole protocol and the live row count arrives as a traced scalar, so ONE
+# compile serves every round (the reference re-picks launch dims per round
+# through a 13-way if/else ladder, test_sumcheck.cu:36-64; per-round-shape
+# jits paid one remote XLA compile per round through the tunnel).
+ROW_TILE = 4096
+
+
 @jax.jit
-def _round_kernel(evals):
-    """evals: (2, rows, 4) -> points (3, 4); cf. get_round_coefficients."""
-    half = evals.shape[1] // 2
-    lower = evals[:, :half]
-    upper = evals[:, half:]
-    two_up_minus_low = m31_add(m31_sub(upper, lower), upper)  # (upper-lower)+upper
+def _round_kernel(evals, rows):
+    """evals: (2, B, 4), rows: traced live count -> points (3, 4)."""
+    _, b, _ = evals.shape
+    tile = min(ROW_TILE, b // 2)
+    half = rows // 2
+    tiles = (half + tile - 1) // tile
 
-    def reduce_prod(cols):  # (2, rows, 4) -> (4,)
-        prod = qm31_mul(cols[0], cols[1])
-        return jax.lax.reduce(prod, jnp.uint32(0), _m31_add_monoid, (0,))
+    def masked(t, base):
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        return jnp.where(idx < half, t, jnp.uint32(0))
 
-    return jnp.stack([
-        reduce_prod(lower),
-        reduce_prod(upper),
-        reduce_prod(two_up_minus_low),
-    ])
+    def body(state):
+        i, acc = state
+        base = i * tile
+        lower = jax.lax.dynamic_slice(evals, (0, base, 0), (2, tile, 4))
+        upper = jax.lax.dynamic_slice(
+            evals, (0, base + half, 0), (2, tile, 4))
+        two_up_minus_low = m31_add(m31_sub(upper, lower), upper)
+
+        def reduce_prod(lo, up):  # (tile, 4) each -> (4,)
+            prod = masked(qm31_mul(lo, up), base)   # 0 = add identity
+            return jax.lax.reduce(prod, jnp.uint32(0), _m31_add_monoid, (0,))
+
+        part = jnp.stack([
+            reduce_prod(lower[0], lower[1]),
+            reduce_prod(upper[0], upper[1]),
+            reduce_prod(two_up_minus_low[0], two_up_minus_low[1]),
+        ])
+        return i + jnp.int32(1), _m31_add_monoid(acc, part)
+
+    init = (jnp.int32(0), jnp.zeros((3, 4), jnp.uint32))
+    _, acc = jax.lax.while_loop(lambda s: s[0] < tiles, body, init)
+    return acc
 
 
 def _m31_add_monoid(a, b):
@@ -54,12 +79,29 @@ def _m31_add_monoid(a, b):
 
 
 @jax.jit
-def _fold_kernel(evals, challenge):
-    """evals: (2, rows, 4), challenge (4,) -> (2, rows//2, 4)."""
-    half = evals.shape[1] // 2
-    lower = evals[:, :half]
-    upper = evals[:, half:]
-    return m31_add(lower, qm31_mul(m31_sub(upper, lower), challenge))
+def _fold_kernel(evals, challenge, rows):
+    """Fold rows [0, rows) in half in the fixed (2, B, 4) buffer; the stale
+    upper region is never read again (kernels.cu:20-28 convention)."""
+    _, b, _ = evals.shape
+    tile = min(ROW_TILE, b // 2)
+    half = rows // 2
+    tiles = (half + tile - 1) // tile
+
+    def body(state):
+        i, buf = state
+        base = i * tile
+        lower = jax.lax.dynamic_slice(evals, (0, base, 0), (2, tile, 4))
+        upper = jax.lax.dynamic_slice(
+            evals, (0, base + half, 0), (2, tile, 4))
+        folded = m31_add(lower, qm31_mul(m31_sub(upper, lower), challenge))
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        folded = jnp.where(idx < half, folded, lower)
+        buf = jax.lax.dynamic_update_slice(buf, folded, (0, base, 0))
+        return i + jnp.int32(1), buf
+
+    init = (jnp.int32(0), evals)
+    _, buf = jax.lax.while_loop(lambda s: s[0] < tiles, body, init)
+    return buf
 
 
 class PrimeFieldSumcheck:
@@ -70,15 +112,19 @@ class PrimeFieldSumcheck:
         evals = jnp.asarray(evals, dtype=jnp.uint32)
         assert evals.ndim == 3 and evals.shape[0] == 2 and evals.shape[2] == 4
         self._evals = evals
+        self._num_rows = evals.shape[1]
         self.round = 0
 
     def round_messages(self) -> np.ndarray:
         """Round polynomial at X = 0, 1, 2 as a (3, 4) uint32 array."""
-        return np.asarray(_round_kernel(self._evals))
+        return np.asarray(
+            _round_kernel(self._evals, jnp.int32(self._num_rows)))
 
     def fold(self, challenge) -> None:
         challenge = jnp.asarray(challenge, dtype=jnp.uint32).reshape(4)
-        self._evals = _fold_kernel(self._evals, challenge)
+        self._evals = _fold_kernel(self._evals, challenge,
+                                   jnp.int32(self._num_rows))
+        self._num_rows //= 2
         self.round += 1
 
 

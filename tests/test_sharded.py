@@ -78,3 +78,35 @@ def test_sharded_ntt128_bit_identical(log_h, log_rate):
     got = np.asarray(ShardedAdditiveNTT128(
         log_h, log_rate, mesh).apply_sliced(sliced))
     assert (ref == got).all()
+
+
+@needs_mesh
+@pytest.mark.parametrize("log_h,log_rate,fused", [
+    (9, 0, False),       # per-stage local path (fused off)
+    (13, 0, True),       # fused local path with an upper-group seam
+    (14, 2, True),       # + cosets through the split instance index
+])
+def test_sharded_ntt128_fused_variants(log_h, log_rate, fused, monkeypatch):
+    """The fused shard-local path (device-index twiddle correction planes,
+    pallas_fused.build_tables_sharded) is bit-identical to the single-chip
+    transform across group seams."""
+    from binius_ntt_tpu.layout.bitslicing import bitslice_transpose
+    from binius_ntt_tpu.ntt import pallas_fused as pf
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.parallel.ntt128_sharded import ShardedAdditiveNTT128
+
+    import jax.numpy as jnp
+
+    if fused:
+        monkeypatch.setattr(pf, "KB", 2)
+        monkeypatch.setattr(pf, "KU", 2)
+        monkeypatch.setattr(pf, "PT", 2)
+    mesh = make_mesh()
+    words = mt19937_stream(0xBEEF + log_h, (1 << log_h) * 4)
+    sliced = np.asarray(
+        bitslice_transpose(jnp.asarray(words.reshape(-1, 128))))
+    ref = np.asarray(AdditiveNTT128(
+        log_h, log_rate, use_pallas=False).apply_sliced(jnp.asarray(sliced)))
+    got = np.asarray(ShardedAdditiveNTT128(
+        log_h, log_rate, mesh, use_fused=fused).apply_sliced(sliced))
+    assert (ref == got).all()

@@ -98,6 +98,41 @@ def run_bb31(lo: int, hi: int):
         del out
 
 
+def run_bb31_roundtrip(log_n: int = 24):
+    """Forward + inverse + 1/n scaling == identity at 2^log_n, timed
+    (cf. test_ntt.cu:154-187; reference: 2.665 s at 2^24 on Kaggle GPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.fields import baby_bear as bb
+    from binius_ntt_tpu.ntt.radix2 import NTTRadix2
+    from binius_ntt_tpu.utils.benchlib import device_time, _force
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    g = 137
+    fwd = NTTRadix2(g, 27, log_n)
+    inv = NTTRadix2(bb.inv_host(g), 27, log_n)
+    n_inv_mont = jnp.uint32(bb.encode_host(
+        np.array([bb.inv_host(1 << log_n)], dtype=np.uint32))[0])
+
+    @jax.jit
+    def scale(x):
+        # x * (1/n): canonical * montgomery(1/n) via one REDC mul
+        return bb.mont_mul(x, n_inv_mont)
+
+    x = mt19937_stream(0xDEADBEEF + log_n, 1 << log_n) % np.uint32(bb.P)
+    xj = jnp.asarray(x)
+
+    def roundtrip(v):
+        return scale(inv.apply(fwd.apply(v)))
+
+    out = np.asarray(_retry(lambda: roundtrip(xj)))
+    ok = bool(np.array_equal(out, x))
+    best = device_time(lambda: roundtrip(xj), reps=3)
+    _emit({"suite": "bb31_roundtrip", "log_n": log_n, "pass": ok,
+           "seconds": round(best, 5)})
+
+
 def run_ntt128(lo: int, hi: int):
     """Fused-vs-per-stage equality at lo; capacity/perf up to hi."""
     import jax
@@ -178,6 +213,38 @@ def run_sumcheck(*num_vars_list):
                    "mean_round_s": round(float(np.mean(round_times)), 4)})
 
 
+def run_prime(*num_vars_list):
+    """QM31 sumcheck full protocol on device (cf. the reference's 24-var
+    run, prime_field_sumcheck/test_sumcheck.cu:9-99)."""
+    from binius_ntt_tpu.sumcheck.prime_field import (
+        PrimeFieldSumcheck, interpolate_at_host)
+    from binius_ntt_tpu.fields.m31 import P, qm31_add_host, qm31_mul_host
+
+    for num_vars in num_vars_list:
+        num_vars = int(num_vars)
+        rng = np.random.default_rng(17 + num_vars)
+        evals = rng.integers(0, P, size=(2, 1 << num_vars, 4),
+                             dtype=np.uint32)
+        t0 = time.time()
+        s = PrimeFieldSumcheck(evals)
+        claim, ok = None, True
+        rts = []
+        for rnd in range(num_vars):
+            t1 = time.time()
+            pts = s.round_messages()
+            p01 = qm31_add_host(pts[0], pts[1])
+            if claim is not None:
+                ok = ok and bool(np.array_equal(p01, claim))
+            ch = rng.integers(0, P, size=4, dtype=np.uint32)
+            claim = interpolate_at_host(ch, pts)
+            s.fold(ch)
+            rts.append(time.time() - t1)
+        _emit({"suite": "qm31_sumcheck", "num_vars": num_vars,
+               "pass": bool(ok), "protocol_s": round(time.time() - t0, 2),
+               "mean_round_s": round(float(np.mean(rts)), 4),
+               "min_round_s": round(float(np.min(rts)), 4)})
+
+
 def main():
     _setup_cache()
     which = sys.argv[1]
@@ -190,6 +257,10 @@ def main():
         run_ntt128(*args)
     elif which == "sumcheck":
         run_sumcheck(*args)
+    elif which == "prime":
+        run_prime(*args)
+    elif which == "bb31_roundtrip":
+        run_bb31_roundtrip(*args)
     else:
         raise SystemExit(f"unknown suite {which}")
 
