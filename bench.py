@@ -86,13 +86,18 @@ def bench_sumcheck_round(num_vars: int = 20, comp: int = 2):
         challenge = jnp.asarray(
             mt19937_stream(11, INTS_PER_VALUE), dtype=jnp.uint32)
 
-        fold_nodonate = jax.jit(pr.fold_kernel_impl)
+        # rebind the donated buffer each call: the fold reuses its own
+        # storage (in-kernel aliasing + donation), so this measures the
+        # true in-place cost the protocol pays — a non-donating jit would
+        # add a defensive whole-buffer copy before the aliased kernel
+        state = {"buf": s._device_evals}
 
         def step():
-            r = pr.round_kernel(s._device_evals, jnp.int32(rows),
+            r = pr.round_kernel(state["buf"], jnp.int32(rows),
                                 num_points=comp + 1)
-            f = fold_nodonate(s._device_evals, challenge, jnp.int32(rows))
-            return r, f
+            state["buf"] = pr.fold_kernel(state["buf"], challenge,
+                                          jnp.int32(rows))
+            return r, state["buf"]
     else:
         coeff = s._coeffs[1]
         rows_t = jnp.int32(rows)

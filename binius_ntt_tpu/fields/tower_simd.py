@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["mul_packed", "interleave_32b", "xor_adjacent_32b", "MASKS", "ALPHAS"]
+__all__ = ["mul_packed", "inverse_packed", "interleave_32b",
+           "xor_adjacent_32b", "MASKS", "ALPHAS"]
 
 # binary_tower_simd.cuh:37-67
 MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
@@ -71,3 +72,32 @@ def mul_packed(a, b, height: int):
     ) & odd_mask
     z0_plus_z2_dup = xor_adjacent_32b(z0_even_z2_odd, h)
     return z0_plus_z2_dup ^ zero_even_sum_odd
+
+
+def inverse_packed(x, height: int):
+    """Tower-field inverse of ONE element per uint32 word (any array shape).
+
+    Device-side port of generic_inverse (binary_tower.cuh:63-81):
+    delta = a0*(a0 ^ alpha*a1) ^ a1^2, then recurse; the reference's
+    height-2 inverse table becomes Fermat x^14 = x^2 * x^4 * x^8 in GF(16)
+    (branchless, no gathers).  inverse(0) = 0, like the reference's table.
+    The element must occupy the low 2^height bits (upper bits zero), which
+    keeps every lane-parallel sub-multiply's unused lanes zero.
+    """
+    if height <= 2:
+        x2 = mul_packed(x, x, 2)
+        x4 = mul_packed(x2, x2, 2)
+        x8 = mul_packed(x4, x4, 2)
+        return mul_packed(x2, mul_packed(x4, x8, 2), 2)
+    h = height - 1
+    half = 1 << h
+    mask = jnp.uint32((1 << half) - 1)
+    a0 = x & mask
+    a1 = x >> half
+    alpha = jnp.uint32(1 << (1 << (h - 1)))     # x_h basis element
+    intermediate = a0 ^ mul_packed(a1, alpha, h)
+    delta = mul_packed(a0, intermediate, h) ^ mul_packed(a1, a1, h)
+    dinv = inverse_packed(delta, h)
+    out0 = mul_packed(dinv, intermediate, h)
+    out1 = mul_packed(dinv, a1, h)
+    return (out1 << half) | out0

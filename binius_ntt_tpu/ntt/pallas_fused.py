@@ -124,56 +124,14 @@ def make_group_tables(rows, log_h: int, log_rate: int, t0: int, k: int,
     Returns (mtile, minst, lanes) numpy arrays; stage order matches the
     kernel's execution order (high stages descending, then low 4..0).
     mtile/minst: (n_stages, 128) uint32; lanes: (5, 128) or None.
+
+    This IS the sharded builder at log_d = 0 (no device bits: the p/coset
+    mask split collapses to the contiguous instance mask and the d-table
+    is identically zero).
     """
-    log_nb = log_h - 5
-    pre_bits = log_nb - t0 - k
-    mtile, minst = [], []
-    # high stages s = 5+t0+k-1 .. 5+t0 (descending, DIT order)
-    for r in range(k - 1, -1, -1):
-        s = 5 + t0 + r
-        m0 = k - 1 - r           # tile bits in the butterfly-block index
-        nbits = log_h + log_rate - 1 - s
-        mtile.append(_bit_masks(rows[s], 0, min(m0, nbits)))
-        minst.append(_bit_masks(rows[s], m0, max(nbits - m0, 0)))
-    lanes = None
-    if include_low:
-        lane_list = []
-        for s in range(min(log_h - 1, 4), -1, -1):
-            nbits = log_h + log_rate - 1 - s
-            lane_bits = min(4 - s, nbits)
-            mtile.append(_bit_masks(rows[s], lane_bits,
-                                    min(k, nbits - lane_bits)))
-            minst.append(_bit_masks(rows[s], lane_bits + k,
-                                    max(nbits - lane_bits - k, 0)))
-            # 32 lane values -> 128 bit-planes (one uint32 each, lanes in bits)
-            vals = np.zeros(32, dtype=object)
-            for j in range(32):
-                v = 0
-                jj = j >> (s + 1)
-                for m in range(lane_bits):
-                    if (jj >> m) & 1:
-                        v ^= rows[s][m]
-                vals[j] = v
-            planes = np.zeros(W, dtype=np.uint32)
-            for i in range(W):
-                acc = 0
-                for j in range(32):
-                    acc |= ((int(vals[j]) >> i) & 1) << j
-                planes[i] = acc
-            lane_list.append(planes)
-        lanes = np.stack(lane_list)
-    mtile = np.stack(mtile)
-    minst = np.stack(minst)
-    # stages with identically-zero twiddles (top stage at rate 0) skip the
-    # multiply entirely; low stages also need their lane part to vanish
-    n_high = k
-    zero = []
-    for st in range(mtile.shape[0]):
-        z = not mtile[st].any() and not minst[st].any()
-        if st >= n_high and lanes is not None:
-            z = z and not lanes[st - n_high].any()
-        zero.append(z)
-    return (mtile, minst, lanes, tuple(zero))
+    mtile, minst, lanes, zero, _ = make_group_tables_sharded(
+        rows, log_h, log_rate, t0, k, include_low, 0)
+    return (mtile, minst, lanes, zero)
 
 
 def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,

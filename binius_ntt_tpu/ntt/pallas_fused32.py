@@ -51,10 +51,11 @@ PACK = 4             # bit-sliced blocks packed per 128-lane row
 N_LOW = 7            # stages 6..0 run in the plane-major section
 
 # tile knobs (see pallas_fused.py): bottom tiles (2^KB, 128) words, upper
-# tiles (2^KU, PT, 128).  GF(2^32) multiply live-set is ~9x smaller than
-# GF(2^128)'s, so tiles can be larger than the 128-bit kernel's.
+# tiles (2^KU, PT, 128).  Mosaic's scoped-vmem stack holds ~20x the tile
+# through the stage chain: KU=9 (2MB upper tiles) hit 19.9M at 2^27 —
+# 1MB tiles are the ceiling (cf. pallas_fused_bb31.py).
 KB = 11
-KU = 9
+KU = 8
 PT = 8
 
 _LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)

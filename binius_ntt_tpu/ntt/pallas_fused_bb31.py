@@ -216,15 +216,27 @@ def stage_group_r2(x, lane_tws, row_tws, *, t0: int, k: int,
     return out.reshape(x.shape)
 
 
-def apply_fused_r2(x, tables, *, log_n: int, emulate: bool = False):
+def split_tables_r2(tables):
+    """(static_structure, array_pytree): the arrays must be passed as jit
+    ARGUMENTS — closed over, they embed as program constants and the
+    serialized MLIR blows the remote-compile request limit at 2^26+
+    (HTTP 413; the streamed tables are O(n) words)."""
+    static = tuple((t0, k, il, skip)
+                   for (t0, k, il, _, _, skip) in tables)
+    arrays = tuple((lane_tws, row_tws)
+                   for (_, _, _, lane_tws, row_tws, _) in tables)
+    return static, arrays
+
+
+def apply_fused_r2(x, arrays, *, static, log_n: int, emulate: bool = False):
     """Full transform AFTER bit-reversal: x (n,) canonical uint32 ->
     (n,) canonical IN_ORDER output.  Encode/decode run inside the first/
-    last kernels."""
+    last kernels.  static/arrays from split_tables_r2(build_tables_r2())."""
     rows_total = (1 << log_n) >> 7
     xt = x.reshape(rows_total, 128)
-    last = len(tables) - 1
-    for gi, (t0, k, include_lanes, lane_tws, row_tws, skip) in enumerate(
-            tables):
+    last = len(static) - 1
+    for gi, ((t0, k, include_lanes, skip), (lane_tws, row_tws)) in enumerate(
+            zip(static, arrays)):
         xt = stage_group_r2(
             xt, lane_tws, row_tws, t0=t0, k=k, include_lanes=include_lanes,
             skip=skip, log_n=log_n, encode_in=(gi == 0),

@@ -67,8 +67,7 @@ class NTTRadix2:
         # bit-reverse with idx_size = log_n - 1 (gpuntt.cuh:141-142)
         if log_n > 1:
             tw = tw[bit_reverse_indices(log_n - 1)]
-        self._tw_mont = jnp.asarray(bb.encode_host(tw))
-        self._bitrev = jnp.asarray(bit_reverse_indices(log_n))
+        tw_mont_host = bb.encode_host(tw)
         self._apply = partial(_radix2_apply, log_n=log_n)
         # fused stage-group Pallas path (ntt/pallas_fused_bb31.py): whole
         # DIF ladder in ~2 HBM passes with size-independent compile cost
@@ -76,13 +75,21 @@ class NTTRadix2:
             use_fused = (log_n >= 7
                          and jax.default_backend() not in ("cpu",))
         self.use_fused = use_fused and log_n >= 7
+        # host-side copy for table builders/tests; the flat device twiddle
+        # and gather tables are only uploaded on the per-stage path (the
+        # fused path streams its own tables — at 2^27 the unused flat
+        # copies would waste ~768 MB of HBM per direction)
+        self._tw_mont = (np.asarray(tw_mont_host) if self.use_fused
+                         else jnp.asarray(tw_mont_host))
+        self._bitrev = (bit_reverse_indices(log_n) if self.use_fused
+                        else jnp.asarray(bit_reverse_indices(log_n)))
         if self.use_fused:
             from . import pallas_fused_bb31 as pfb
 
-            tables = pfb.build_tables_r2(
-                np.asarray(bb.encode_host(tw)), log_n)
+            static, self._fused_arrays = pfb.split_tables_r2(
+                pfb.build_tables_r2(tw_mont_host, log_n))
             self._apply_fused = jax.jit(partial(
-                pfb.apply_fused_r2, tables=tables, log_n=log_n))
+                pfb.apply_fused_r2, static=static, log_n=log_n))
             lg_b = log_n // 2
             self._rev_a = jnp.asarray(bit_reverse_indices(log_n - lg_b))
             self._rev_b = jnp.asarray(bit_reverse_indices(lg_b))
@@ -106,7 +113,7 @@ class NTTRadix2:
             if not input_bit_reversed:
                 x = _bitrev_split(x, self._rev_a, self._rev_b,
                                   log_n=self.log_n)
-            return self._apply_fused(x)
+            return self._apply_fused(x, self._fused_arrays)
         if per_stage_jit is None:
             per_stage_jit = self.log_n >= 22
         if self.log_n < 7:
@@ -127,11 +134,6 @@ class NTTRadix2:
         for s in range(n_small, self.log_n):
             x = _radix2_stage(x, self._tw_mont, s=s, log_n=self.log_n)
         return _decode_stage(x)
-
-
-@jax.jit
-def _bitrev_stage(x, bitrev):
-    return x[bitrev]
 
 
 @partial(jax.jit, static_argnames=("log_n",))

@@ -63,6 +63,7 @@ class ShardedAdditiveNTT128:
         rows = precompute_subspace_evals(log_h, log_rate, HEIGHT)
         fused_groups = None
         self._fused_arrays = ()
+        local_top = 0          # stages below this use per-stage tables
         if self.use_fused:
             from ..ntt import pallas_fused as pf
 
@@ -73,10 +74,17 @@ class ShardedAdditiveNTT128:
             self._fused_arrays = tuple(
                 (mt, mi, ln, dt)
                 for (_, _, _, mt, mi, ln, _, dt) in tables)
+            # fused shard-local stages never read the per-stage tables —
+            # only the cross-device stages (s >= 5 + local batch bits)
+            # need them (at 2^28 the dead low-stage doubling tables alone
+            # would be hundreds of MB of device memory)
+            local_top = 5 + (log_h - 5 - self.log_d)
         high_tables = {}
         low_batch_tables = {}
         low_lane_planes = {}
         for s in range(log_h):
+            if s < local_top:
+                continue
             bits = log_h + log_rate - 1 - s
             if s >= 5:
                 high_tables[s] = jnp.asarray(
@@ -145,12 +153,16 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes,
     d = jax.lax.axis_index(AXIS)
     coset_ids = jnp.arange(cosets, dtype=jnp.uint32)
 
-    high = {s: t for s, t in zip(sorted(range(5, log_h)), high_tables)}
+    # table keys mirror the ctor's filtering: with the fused local path,
+    # only cross-device stages (s >= 5 + log_nb_l) have per-stage tables
+    local_floor = 5 if fused_groups is None else 5 + log_nb_l
+    high = {s: t for s, t in zip(
+        sorted(s for s in range(5, log_h) if s >= local_floor),
+        high_tables)}
     lowb = {s: t for s, t in zip(range(min(log_h, 5)), low_batch_tables)}
     lowl = {s: t for s, t in zip(range(min(log_h, 5)), low_lane_planes)}
 
     # ---- high stages ----
-    local_floor = 5 if fused_groups is None else 5 + log_nb_l
     for s in range(log_h - 1, local_floor - 1, -1):
         db = 1 << (s - 5)
         if db >= sb:

@@ -18,6 +18,8 @@ maps directly onto ``psum``-style cross-device reduction later.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,10 +80,11 @@ def _m31_add_monoid(a, b):
     return (s + (s >> 31)) & jnp.uint32(P)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _fold_kernel(evals, challenge, rows):
     """Fold rows [0, rows) in half in the fixed (2, B, 4) buffer; the stale
-    upper region is never read again (kernels.cu:20-28 convention)."""
+    upper region is never read again (kernels.cu:20-28 convention).
+    Donates the buffer (the caller rebinds) so peak HBM stays one copy."""
     _, b, _ = evals.shape
     tile = min(ROW_TILE, b // 2)
     half = rows // 2

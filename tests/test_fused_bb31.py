@@ -16,10 +16,11 @@ from binius_ntt_tpu.utils.mt19937 import mt19937_stream
 
 
 def _run_fused(ntt, x):
-    tables = pfb.build_tables_r2(np.asarray(ntt._tw_mont), ntt.log_n)
-    xb = jnp.asarray(x, jnp.uint32)[ntt._bitrev]
-    return np.asarray(
-        pfb.apply_fused_r2(xb, tables, log_n=ntt.log_n, emulate=True))
+    static, arrays = pfb.split_tables_r2(
+        pfb.build_tables_r2(np.asarray(ntt._tw_mont), ntt.log_n))
+    xb = jnp.asarray(x, jnp.uint32)[np.asarray(ntt._bitrev)]
+    return np.asarray(pfb.apply_fused_r2(
+        xb, arrays, static=static, log_n=ntt.log_n, emulate=True))
 
 
 @pytest.mark.parametrize(

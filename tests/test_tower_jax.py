@@ -204,3 +204,24 @@ def test_bitsliced_square_and_alpha():
         a = int.from_bytes(al[j*4:(j+1)*4].astype('<u4').tobytes(), 'little')
         assert s == ts.square(v, 7)
         assert a == ts.multiply_alpha(v, 7)
+
+
+def test_inverse_packed_matches_oracle():
+    """Device-side tower inverse (tower_simd.inverse_packed) == scalar
+    oracle; cf. the reference inverse kernel (binary_tower.cuh:63-81,
+    profiled at 2^24 in test_kernels.cu:223-255)."""
+    import numpy as np
+
+    from binius_ntt_tpu.fields import tower_scalar as ts
+    from binius_ntt_tpu.fields.tower_simd import inverse_packed, mul_packed
+
+    rng = np.random.default_rng(11)
+    for h in (2, 3, 4, 5):
+        vals = rng.integers(0, 1 << (1 << h), size=128, dtype=np.uint32)
+        got = np.asarray(inverse_packed(jnp.asarray(vals), h))
+        want = np.array([ts.inverse(int(v), h) for v in vals],
+                        dtype=np.uint32)
+        assert np.array_equal(got, want)
+        prod = np.asarray(mul_packed(jnp.asarray(vals), jnp.asarray(got), h))
+        assert all(int(p) == (1 if v else 0)
+                   for p, v in zip(prod, vals))

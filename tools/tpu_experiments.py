@@ -27,11 +27,15 @@ def sumcheck_breakdown():
         s = Sumcheck(evals, comp, num_vars)
         rows = (1 << num_vars) // 32
         ch = jnp.asarray(mt19937_stream(11, 4), dtype=jnp.uint32)
-        fold_nodonate = jax.jit(pr.fold_kernel_impl)
         r = device_time(lambda: pr.round_kernel(
             s._device_evals, jnp.int32(rows), num_points=comp + 1), reps=6)
-        f = device_time(lambda: fold_nodonate(
-            s._device_evals, ch, jnp.int32(rows)), reps=6)
+        state = {"buf": s._device_evals}
+
+        def fold_step():
+            state["buf"] = pr.fold_kernel(state["buf"], ch, jnp.int32(rows))
+            return state["buf"]
+
+        f = device_time(fold_step, reps=6)
         print(json.dumps({"exp": "sumcheck_breakdown", "num_vars": num_vars,
                           "round_s": round(r, 6), "fold_s": round(f, 6)}),
               flush=True)

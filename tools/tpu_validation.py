@@ -69,8 +69,13 @@ def run_additive(lo: int, hi: int, rates=(0, 2)):
                 continue
             x = mt19937_stream(0xDEADBEEF + log_h + rate, 1 << log_h)
             t0 = time.time()
-            out = _retry(
-                lambda: np.asarray(AdditiveNTT(log_h, rate).apply(x)))
+            try:
+                out = _retry(
+                    lambda: np.asarray(AdditiveNTT(log_h, rate).apply(x)))
+            except Exception as e:          # noqa: BLE001 — keep sweeping
+                _emit({"suite": "additive_ntt32", "log_h": log_h,
+                       "rate": rate, "pass": False, "error": str(e)[:160]})
+                continue
             dt = time.time() - t0
             got = _digest(out)
             _emit({"suite": "additive_ntt32", "log_h": log_h, "rate": rate,
@@ -90,7 +95,13 @@ def run_bb31(lo: int, hi: int):
             continue
         inp = mt19937_stream(0xDEADBEEF + log_len, 1 << log_len)
         t0 = time.time()
-        out = _retry(lambda: np.asarray(NTTRadix2(137, 27, log_len).apply(inp)))
+        try:
+            out = _retry(
+                lambda: np.asarray(NTTRadix2(137, 27, log_len).apply(inp)))
+        except Exception as e:              # noqa: BLE001 — keep sweeping
+            _emit({"suite": "bb31_ntt", "log_len": log_len, "pass": False,
+                   "error": str(e)[:160]})
+            continue
         dt = time.time() - t0
         got = _digest(out)
         _emit({"suite": "bb31_ntt", "log_len": log_len, "golden": want,
@@ -213,6 +224,58 @@ def run_sumcheck(*num_vars_list):
                    "mean_round_s": round(float(np.mean(round_times)), 4)})
 
 
+def run_fieldops():
+    """Raw multiply throughput at 2^24 elements (cf. the reference's GPU
+    field-op kernels over 2^24 x 16 muls, finite_fields/tests/
+    test_kernels.cu:81-221; BASELINE.md rows 6-10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.ntt.pallas_kernels import mul_tiles
+    from binius_ntt_tpu.utils.benchlib import device_time, _force
+
+    rng = np.random.default_rng(3)
+    # GF(2^128) bit-sliced: (2^19, 128) sliced batches = 2^24 elements
+    a = jnp.asarray(rng.integers(0, 2 ** 32, size=(1 << 19, 128),
+                                 dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2 ** 32, size=(1 << 19, 128),
+                                 dtype=np.uint32))
+    _force(mul_tiles(a, b))
+    t = device_time(lambda: mul_tiles(a, b), reps=6)
+    _emit({"suite": "fieldops", "op": "mul128_bitsliced_2^24",
+           "seconds": round(t, 5),
+           "mul_per_s": round((1 << 24) / t)})
+
+    # GF(2^32) compact SWAR multiply and tower inverse, 2^24 elements
+    # (cf. test_kernels.cu:81-115 mul 1.641 s, :223-255 inverse 0.879 s)
+    from binius_ntt_tpu.fields.tower_simd import inverse_packed, mul_packed
+
+    g = jnp.asarray(rng.integers(0, 2 ** 32, size=1 << 24, dtype=np.uint32))
+    h2 = jnp.asarray(rng.integers(0, 2 ** 32, size=1 << 24, dtype=np.uint32))
+    mp = jax.jit(lambda u, v: mul_packed(u, v, 5))
+    _force(mp(g, h2))
+    t = device_time(lambda: mp(g, h2), reps=6)
+    _emit({"suite": "fieldops", "op": "mul32_swar_2^24",
+           "seconds": round(t, 5), "mul_per_s": round((1 << 24) / t)})
+    ip = jax.jit(lambda u: inverse_packed(u, 5))
+    _force(ip(g))
+    t = device_time(lambda: ip(g), reps=6)
+    _emit({"suite": "fieldops", "op": "inverse32_2^24",
+           "seconds": round(t, 5), "inv_per_s": round((1 << 24) / t)})
+
+    # BB31 Montgomery multiply, 2^24 elements
+    from binius_ntt_tpu.fields import baby_bear as bb
+
+    x = jnp.asarray(rng.integers(0, bb.P, size=1 << 24, dtype=np.uint32))
+    y = jnp.asarray(rng.integers(0, bb.P, size=1 << 24, dtype=np.uint32))
+    mm = jax.jit(bb.mont_mul)
+    _force(mm(x, y))
+    t = device_time(lambda: mm(x, y), reps=6)
+    _emit({"suite": "fieldops", "op": "bb31_mont_mul_2^24",
+           "seconds": round(t, 5),
+           "mul_per_s": round((1 << 24) / t)})
+
+
 def run_prime(*num_vars_list):
     """QM31 sumcheck full protocol on device (cf. the reference's 24-var
     run, prime_field_sumcheck/test_sumcheck.cu:9-99)."""
@@ -261,6 +324,8 @@ def main():
         run_prime(*args)
     elif which == "bb31_roundtrip":
         run_bb31_roundtrip(*args)
+    elif which == "fieldops":
+        run_fieldops()
     else:
         raise SystemExit(f"unknown suite {which}")
 
