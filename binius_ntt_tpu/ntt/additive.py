@@ -176,50 +176,40 @@ class AdditiveNTT:
         return data.reshape(cosets << self.log_h)
 
 
-def _transpose32_axis0(a):
-    """Hacker's-Delight 32x32 bit transpose over axis 0 of (32, N).
+def _bitslice_lane_groups(xp):
+    """32x32 bit transpose within each aligned 32-lane group of (R, 128).
 
-    Same math as layout.bitslicing.transpose32 but pairing MAJOR-axis rows,
-    so every intermediate keeps the wide N minor — the (..., 32)-minor form
-    pads ~64x in XLA:TPU HBM at 2^26+ (the additive-26 full-transform OOMed
-    16 GB through exactly that).
+    Takes the flat compact array reshaped (n/128, 128) — lane 32c+j of row
+    r holds element 128r+32c+j — to the fused kernel's packed bit-sliced
+    layout (lane 32c+p = plane p of block 4r+c) and back: the transform is
+    self-inverse (a bit-matrix transpose per group).  Implemented as the
+    Hacker's-Delight ladder with lane ROLLS instead of row pairing, so
+    every intermediate keeps the full (R, 128) shape — any form that
+    materialises a (..., 32)-minor array pads 4-64x in XLA:TPU HBM and
+    OOMs outright at 2^26+ (measured: a (nb/4, 4, 32) intermediate wanted
+    64 GB at 2^29).
     """
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
     m = 0x0000FFFF
     j = 16
     while j:
-        a2 = a.reshape(32 // (2 * j), 2, j, -1)
-        lo, hi = a2[:, 0], a2[:, 1]
-        t = ((lo >> j) ^ hi) & jnp.uint32(m)
-        lo = lo ^ (t << j)
-        hi = hi ^ t
-        a = jnp.stack([lo, hi], axis=1).reshape(32, -1)
+        low = (lane & jnp.uint32(j)) == 0
+        tl = ((xp >> j) ^ jnp.roll(xp, -j, axis=-1)) & jnp.uint32(m)
+        xp = jnp.where(low, xp ^ (tl << j), xp ^ jnp.roll(tl, j, axis=-1))
         j >>= 1
         if j:
             m = (m ^ (m << j)) & 0xFFFFFFFF
-    return a
+    return xp
 
 
 def _apply_fused32_compact(x, *, tables, log_h: int, log_rate: int):
-    """Compact (n,) -> fused packed-bitsliced transform -> compact out.
-
-    Slicing runs plane-major (one big 2-D transpose + wide-minor bit
-    transpose); for 32-bit elements bitslice_transpose IS the 32x32 bit
-    transpose (BitsliceUtils<32>, src/ulvt/utils/bitslicing.cuh:32-47).
-    """
+    """Compact (n,) -> fused packed-bitsliced transform -> compact out."""
     from . import pallas_fused32 as pf32
 
     n = 1 << log_h
-    nb = n // 32
-    cosets = 1 << log_rate
-    # (nb, 32) -> plane-major (32, nb) -> bit transpose -> packed (nb/4, 128)
-    t32 = _transpose32_axis0(x.reshape(nb, 32).T)
-    packed = t32.reshape(32, nb // 4, 4).transpose(1, 2, 0).reshape(
-        nb // 4, 128)
+    packed = _bitslice_lane_groups(x.reshape(n // 128, 128))
     out = pf32.apply_fused32(packed, tables, log_h=log_h, log_rate=log_rate)
-    # packed (C*nb/4, 128) -> plane-major -> bit transpose -> compact
-    nb_o = cosets * nb
-    t32o = out.reshape(nb_o // 4, 4, 32).transpose(2, 0, 1).reshape(32, nb_o)
-    return _transpose32_axis0(t32o).T.reshape(-1)
+    return _bitslice_lane_groups(out).reshape(-1)
 
 
 @jax.jit

@@ -188,11 +188,19 @@ def fold_tile(c: int, b: int) -> int:
     return min(T // 2 if c == 2 else T // 4, b // 2)
 
 
-def fold_kernel_impl(evals, coeff_words, rows):
-    """Challenge fold of the first `rows` rows: (C, B, 128) -> (C, B, 128)
-    with rows//2 folded rows at the front (the stale tail is never read —
-    same convention as the reference folding at original stride,
-    kernels.cu:20-28).
+def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):
+    """Challenge fold of the first `rows` rows: (C, B, 128) ->
+    (C, B//2 if shrink else B, 128) with rows//2 folded rows at the front
+    (the stale tail is never read — same convention as the reference
+    folding at original stride, kernels.cu:20-28).
+
+    The prover shrinks exactly ONCE (the first fold), so the whole
+    protocol compiles two shapes.  Writing a fresh (smaller) buffer — not
+    aliasing in place — matters: evals feeds the kernel twice (lo and up
+    views), so XLA must defensively copy around an in-place alias, and at
+    2^28 evaluations that transient copy is 8 GB and OOMs the chip (the
+    reference's 28-var run died the same way, SURVEY section 4).  Peak is
+    instead in+out = 12 GB on the shrinking fold, 8 GB after.
 
     coeff_words: (4,) uint32 — the 128-bit challenge (constant across the
     array, so its bit-planes are scalars inside the kernel).
@@ -202,6 +210,8 @@ def fold_kernel_impl(evals, coeff_words, rows):
     t = fold_tile(c, b)
     grid = b // (2 * t)
     live = rows // (2 * t)
+    b_out = b // 2 if shrink else b
+    out_grid_cap = b_out // t
 
     # 128 scalar planes: bit i of the challenge -> 0 / 0xFFFFFFFF
     bits = (coeff_words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
@@ -215,6 +225,8 @@ def fold_kernel_impl(evals, coeff_words, rows):
         (c, t, W),
         lambda i, lv: (0, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0),
         memory_space=pltpu.VMEM)
+    del out_grid_cap
+    out_spec = lo_spec       # same blocking; dead steps revisit block lv-1
     w_spec = pl.BlockSpec((1, W), lambda i, lv: (0, 0),
                           memory_space=pltpu.VMEM)
 
@@ -234,27 +246,21 @@ def fold_kernel_impl(evals, coeff_words, rows):
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[w_spec, lo_spec, up_spec],
-        out_specs=lo_spec,
+        out_specs=out_spec,
     )
-    # fold in place: written lo blocks [0, live) never overlap the up blocks
-    # [live, 2*live) still to be read, so aliasing the evals buffer onto the
-    # output halves peak HBM — required for the 2^28-evaluation protocol
-    # (8 GB state; the reference's 28-var config OOMs a 16 GB GPU,
-    # SURVEY §4).  Alias indices count ALL operands including the
-    # scalar-prefetch argument: (live, planes, evals, evals) -> index 2.
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c, b, W), jnp.uint32),
-        input_output_aliases={2: 0},
+        out_shape=jax.ShapeDtypeStruct((c, b_out, W), jnp.uint32),
     )(jnp.asarray(live, jnp.int32).reshape(1), planes, evals, evals)
 
 
 # The production entry donates the buffer (the protocol rebinds it every
-# round, and donation + the in-kernel aliasing keep peak HBM at one copy).
-# Callers that reuse a buffer across calls (benchmarks) must jit
-# fold_kernel_impl themselves without donation.
-fold_kernel = jax.jit(fold_kernel_impl, donate_argnums=(0,))
+# round, so XLA frees the input as soon as the fold completes).  Callers
+# that reuse a buffer across calls must jit fold_kernel_impl themselves
+# without donation.
+fold_kernel = jax.jit(fold_kernel_impl, donate_argnums=(0,),
+                      static_argnames=("shrink",))
 
 
 def round_emulate(evals, *, num_points: int):

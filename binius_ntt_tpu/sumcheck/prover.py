@@ -221,6 +221,7 @@ class Sumcheck:
         if not data_is_transposed:
             arr = _transpose_kernel(arr)
         self._device_evals = arr            # (C, B', 128) while B' >= 2
+        self._b0 = b                        # first fold shrinks B -> B/2
         self._host_evals = None             # (C, 128) once 32 evals remain
 
         # interpolation-point coefficient batches (sumcheck.cuh:103-121)
@@ -285,6 +286,7 @@ class Sumcheck:
         else:
             self._device_evals = device_evals
             self._host_evals = None
+        self._b0 = device_evals.shape[1]
         return self
 
     @property
@@ -346,9 +348,12 @@ class Sumcheck:
                 from . import pallas_round as pr
             if use_pl and rows >= 2 * pr.fold_tile(
                     self.composition_size, b):
+                # shrink the buffer exactly once (first full-occupancy
+                # fold): the whole protocol then compiles two shapes, and
+                # peak HBM at 2^28 evals stays in+out = 12 GB
                 self._device_evals = pr.fold_kernel(
                     self._device_evals, jnp.asarray(challenge),
-                    jnp.int32(rows))
+                    jnp.int32(rows), shrink=(b == self._b0 and b >= 4))
             else:
                 coeff = repeat_value_bitsliced(challenge, BITS_WIDTH)
                 self._device_evals = _fold_kernel_tiled(

@@ -29,21 +29,35 @@ def emit(rec):
 
 
 def ntt128_28():
+    """2^28-point GF(2^128) transform on ONE chip: 4 GB of state, so the
+    timing chain donates its buffer (transform-of-transform: same compute,
+    peak HBM ~1 copy; a non-donating harness held input + output + copy
+    and exhausted the 16 GB)."""
+    import functools
+
     import jax, jax.numpy as jnp
-    from binius_ntt_tpu.layout.bitslicing import bitslice_transpose
-    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
-    from binius_ntt_tpu.utils.benchlib import device_time, _force
-    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+    from binius_ntt_tpu.ntt import pallas_fused as pf
+    from binius_ntt_tpu.ntt.additive import precompute_subspace_evals
+    from binius_ntt_tpu.ntt.pallas_kernels import HEIGHT
+    from binius_ntt_tpu.utils.benchlib import device_time
 
     log_h = 28
-    ntt = AdditiveNTT128(log_h, 0)
-    x = jnp.asarray(mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4
-                                   ).reshape(-1, 128))
-    sliced = jax.jit(bitslice_transpose)(x)
-    del x
-    jax.block_until_ready(sliced)
-    _force(ntt.apply_sliced(sliced))
-    best = device_time(lambda: ntt.apply_sliced(sliced), reps=2)
+    nb = (1 << log_h) // 32
+    rows = precompute_subspace_evals(log_h, 0, HEIGHT)
+    tables = pf.build_tables(rows, log_h, 0)
+    fn = jax.jit(functools.partial(pf.apply_fused, tables=tables,
+                                   log_h=log_h, log_rate=0),
+                 donate_argnums=(0,))
+    rng = np.random.default_rng(9)
+    state = {"buf": jnp.asarray(
+        rng.integers(0, 2 ** 32, size=(nb, 128), dtype=np.uint32))}
+    jax.block_until_ready(state["buf"])
+
+    def step():
+        state["buf"] = fn(state["buf"])
+        return state["buf"]
+
+    best = device_time(step, reps=2)
     emit({"suite": "ntt128_perf", "log_h": log_h,
           "seconds": round(best, 5),
           "butterflies_per_s": round(log_h * (1 << (log_h - 1)) / best)})
