@@ -19,6 +19,7 @@ from .layout.bitslicing import (
     repeat_value_bitsliced,
 )
 from .ntt.additive import AdditiveNTT
+from .ntt.additive_bitsliced import AdditiveNTT128
 from .ntt.radix2 import NTTRadix2
 from .sumcheck.prover import Sumcheck
 from .sumcheck.prime_field import PrimeFieldSumcheck
@@ -26,6 +27,7 @@ from .sumcheck import verifier
 
 __all__ = [
     "AdditiveNTT",
+    "AdditiveNTT128",
     "NTTRadix2",
     "Sumcheck",
     "PrimeFieldSumcheck",

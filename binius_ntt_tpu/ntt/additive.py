@@ -128,7 +128,8 @@ class AdditiveNTT:
             tables = pf32.build_tables32(rows, log_h, log_rate)
             self._apply_fused = jax.jit(partial(
                 _apply_fused32_compact, tables=tables, log_h=log_h,
-                log_rate=log_rate))
+                log_rate=log_rate,
+                conv_pallas=jax.default_backend() not in ("cpu",)))
             return
         # one twiddle table per stage, indexed by the full indicator
         self._twiddles = tuple(
@@ -202,14 +203,17 @@ def _bitslice_lane_groups(xp):
     return xp
 
 
-def _apply_fused32_compact(x, *, tables, log_h: int, log_rate: int):
+def _apply_fused32_compact(x, *, tables, log_h: int, log_rate: int,
+                           conv_pallas: bool = True):
     """Compact (n,) -> fused packed-bitsliced transform -> compact out."""
     from . import pallas_fused32 as pf32
 
+    conv = (pf32.bitslice_lane_groups_pallas if conv_pallas
+            else _bitslice_lane_groups)
     n = 1 << log_h
-    packed = _bitslice_lane_groups(x.reshape(n // 128, 128))
+    packed = conv(x.reshape(n // 128, 128))
     out = pf32.apply_fused32(packed, tables, log_h=log_h, log_rate=log_rate)
-    return _bitslice_lane_groups(out).reshape(-1)
+    return conv(out).reshape(-1)
 
 
 @jax.jit

@@ -119,6 +119,43 @@ def _parity_scalar_pm(q, mask):
     return (jnp.uint32(0) - (x & jnp.uint32(1)))[:, None]
 
 
+def bitslice_lane_groups_pallas(xp, *, tile: int = 2048):
+    """Pallas version of additive._bitslice_lane_groups: the 32x32 bit
+    transpose within each aligned 32-lane group of (R, 128), as ONE kernel
+    pass.  The jnp lane-roll ladder materialises ~10 full-array
+    intermediates in HBM (rolls break XLA fusion) — 10+ GB at 2^28; here
+    each tile stays in VMEM through all five levels."""
+    n, _ = xp.shape
+    t = min(tile, n)
+    grid = (n // t,)
+    bspec = pl.BlockSpec((t, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def kern(x_ref, o_ref):
+        v = x_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
+        m = 0x0000FFFF
+        j = 16
+        while j:
+            low = (lane & jnp.uint32(j)) == 0
+            # pltpu.roll requires non-negative shifts: -j == 128 - j
+            tl = ((v >> j) ^ pltpu.roll(v, 128 - j, 1)) & jnp.uint32(m)
+            v = jnp.where(low, v ^ (tl << j), v ^ pltpu.roll(tl, j, 1))
+            j >>= 1
+            if j:
+                m = (m ^ (m << j)) & 0xFFFFFFFF
+        o_ref[:] = v
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        input_output_aliases={0: 0},
+    )(xp)
+
+
 def plan_groups32(log_nbr: int) -> list[tuple[int, int, bool]]:
     """Split packed-row index bits into (t0, k, include_low) groups."""
     groups = []

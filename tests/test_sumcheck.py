@@ -67,3 +67,27 @@ def test_lagrange_oracle_basics():
     ch = 0xDEADBEEFCAFE
     got = V.evaluate_univariate_given_points(ch, pts, 3)
     assert got == ts.multiply(ch, ch, 7)
+
+
+def test_checkpoint_resume_identical_messages():
+    """state_dict/from_state_dict mid-protocol reproduces the remaining
+    rounds bit-identically (SURVEY section 5: state = (round, folded
+    evals), mirroring sumcheck.cuh:25-29)."""
+    num_vars, comp = 8, 2
+    evals = mt19937_stream(77, INTS_PER_VALUE * (1 << num_vars) * comp)
+    a = Sumcheck(evals, comp, num_vars)
+    rng = np.random.default_rng(3)
+    challenges = [rng.integers(0, 2 ** 32, size=4, dtype=np.uint32)
+                  for _ in range(num_vars)]
+    for r in range(3):
+        a.round_messages()
+        a.move_to_next_round(challenges[r])
+
+    b = Sumcheck.from_state_dict(a.state_dict())
+    assert b.round == a.round
+    for r in range(3, num_vars):
+        sa, pa = a.round_messages()
+        sb, pb = b.round_messages()
+        assert np.array_equal(sa, sb) and np.array_equal(pa, pb)
+        a.move_to_next_round(challenges[r])
+        b.move_to_next_round(challenges[r])

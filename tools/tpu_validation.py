@@ -236,12 +236,15 @@ def run_fieldops():
 
     rng = np.random.default_rng(3)
     # GF(2^128) bit-sliced: (2^19, 128) sliced batches = 2^24 elements
+    # (jit the wrapper: an eager pallas_call re-traces the 15k-op kernel
+    # body every invocation, ~3.7 s/call of pure host overhead)
     a = jnp.asarray(rng.integers(0, 2 ** 32, size=(1 << 19, 128),
                                  dtype=np.uint32))
     b = jnp.asarray(rng.integers(0, 2 ** 32, size=(1 << 19, 128),
                                  dtype=np.uint32))
-    _force(mul_tiles(a, b))
-    t = device_time(lambda: mul_tiles(a, b), reps=6)
+    mt = jax.jit(mul_tiles)
+    _force(mt(a, b))
+    t = device_time(lambda: mt(a, b), reps=6)
     _emit({"suite": "fieldops", "op": "mul128_bitsliced_2^24",
            "seconds": round(t, 5),
            "mul_per_s": round((1 << 24) / t)})
@@ -274,6 +277,29 @@ def run_fieldops():
     _emit({"suite": "fieldops", "op": "bb31_mont_mul_2^24",
            "seconds": round(t, 5),
            "mul_per_s": round((1 << 24) / t)})
+
+    # chained (ALU-bound) variants: 16 dependent muls per element — the
+    # reference's kernels chain muls per thread the same way
+    # (test_kernels.cu:81-221 does 16, the nvbench kernels 50k)
+    @jax.jit
+    def chain16_swar(u, v):
+        for _ in range(16):
+            u = mul_packed(u, v, 5)
+        return u
+
+    @jax.jit
+    def chain16_bb31(u, v):
+        for _ in range(16):
+            u = bb.mont_mul(u, v)
+        return u
+
+    for name, fn, args in (("mul32_swar_chain16", chain16_swar, (g, h2)),
+                           ("bb31_mont_mul_chain16", chain16_bb31, (x, y))):
+        _force(fn(*args))
+        t = device_time(lambda: fn(*args), reps=6)
+        _emit({"suite": "fieldops", "op": name + "_2^24",
+               "seconds": round(t, 5),
+               "mul_per_s": round(16 * (1 << 24) / t)})
 
 
 def run_prime(*num_vars_list):
