@@ -98,6 +98,9 @@ def mul_compact_tiles(a, b, height: int = 7, *, tile: int = 2048):
     n, nl = a.shape
     assert nl == 1 << (height - 5)
     t = min(tile, n)
+    # grid covers n // t full blocks: a ragged tail would silently leave
+    # its output rows unwritten
+    assert n % t == 0, f"n={n} must be a multiple of the tile ({t})"
     soa_a = a.T                       # (L, N) — one 2-D transpose
     soa_b = b.T
     bspec = pl.BlockSpec((nl, t), lambda i: (0, i),

@@ -72,7 +72,9 @@ def _round_kernel(evals, rows):
 
     init = (jnp.int32(0), jnp.zeros((3, 4), jnp.uint32))
     _, acc = jax.lax.while_loop(lambda s: s[0] < tiles, body, init)
-    return acc
+    # the monoid keeps the s == P alias of 0 (self-correcting on every
+    # later add, but not on the last one): canonicalise the final value
+    return jnp.where(acc == jnp.uint32(P), jnp.uint32(0), acc)
 
 
 def _m31_add_monoid(a, b):

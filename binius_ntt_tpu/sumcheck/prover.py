@@ -302,8 +302,12 @@ class Sumcheck:
             use_pl = _use_pallas()
             if use_pl:
                 from . import pallas_round as pr
-            if use_pl and rows >= 2 * pr.round_tile(
-                    self.composition_size, b):
+            # tile >= 8: _acc_tile's (t//8, 8, W) reshape needs full
+            # sublane groups, so sub-8 tiles (num_vars 6-8 buffers) take
+            # the jnp while_loop kernel instead
+            if use_pl and (
+                    tile := pr.round_tile(self.composition_size, b)) >= 8 \
+                    and rows >= 2 * tile:
                 # fused Pallas round: fixed buffer shape + scalar-prefetched
                 # live-tile count -> ONE compile serves every round
                 parts = np.asarray(pr.round_kernel(
@@ -346,8 +350,9 @@ class Sumcheck:
             use_pl = _use_pallas()
             if use_pl:
                 from . import pallas_round as pr
-            if use_pl and rows >= 2 * pr.fold_tile(
-                    self.composition_size, b):
+            if use_pl and (
+                    tile := pr.fold_tile(self.composition_size, b)) >= 8 \
+                    and rows >= 2 * tile:
                 # shrink the buffer exactly once (first full-occupancy
                 # fold): the whole protocol then compiles two shapes, and
                 # peak HBM at 2^28 evals stays in+out = 12 GB

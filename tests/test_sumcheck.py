@@ -91,3 +91,37 @@ def test_checkpoint_resume_identical_messages():
         assert np.array_equal(sa, sb) and np.array_equal(pa, pb)
         a.move_to_next_round(challenges[r])
         b.move_to_next_round(challenges[r])
+
+
+def test_small_buffer_avoids_pallas_path(monkeypatch):
+    """num_vars 6-8 buffers (b <= 8 rows) have round/fold tiles < 8, which
+    the Pallas kernels cannot reshape into sublane groups — the prover must
+    dispatch them to the jnp while_loop kernels even on TPU backends."""
+    import binius_ntt_tpu.sumcheck.prover as prover_mod
+    from binius_ntt_tpu.sumcheck import pallas_round as pr
+
+    import binius_ntt_tpu.fields.bitsliced as bf
+    import binius_ntt_tpu.ntt.pallas_kernels as pk
+
+    calls = []
+    monkeypatch.setattr(prover_mod, "_use_pallas", lambda: True)
+    # the inner multiply also keys off the backend; keep it on jnp so the
+    # test isolates the round/fold kernel dispatch
+    monkeypatch.setattr(pk, "mul_tiles", lambda a, b: bf.multiply(a, b, 7))
+    monkeypatch.setattr(
+        pr, "round_kernel",
+        lambda *a, **k: calls.append("round") or (_ for _ in ()).throw(
+            AssertionError("pallas round_kernel must not run for t<8")))
+    monkeypatch.setattr(
+        pr, "fold_kernel",
+        lambda *a, **k: calls.append("fold") or (_ for _ in ()).throw(
+            AssertionError("pallas fold_kernel must not run for t<8")))
+
+    num_vars, comp = 7, 2
+    evals = mt19937_stream(55, INTS_PER_VALUE * (1 << num_vars) * comp)
+    s = Sumcheck(evals, comp, num_vars)
+    sm, pts = s.round_messages()
+    assert V.words_to_int(sm) == V.words_to_int(pts[0]) ^ V.words_to_int(pts[1])
+    s.move_to_next_round(np.arange(4, dtype=np.uint32))
+    s.round_messages()
+    assert not calls
