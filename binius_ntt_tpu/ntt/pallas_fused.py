@@ -44,38 +44,14 @@ from .pallas_kernels import (HEIGHT, W, _LANE_MASKS, _mul_planes, _mul_vmem,
 IPV = W // 32
 
 # tile-size knobs: bottom tiles are (2^KB, 128) words; upper tiles are
-# (2^KU, PT, 128).  Sized so tile + live multiply planes fit the 16MB VMEM
-# scoped-allocation budget (KB=11 OOMs by ~1.4MB).
-KB = 10
-KU = 9
+# (2^KU, PT, 128).  Mosaic's scoped-VMEM stack holds ~25x the tile size
+# through a stage-loop body: KB=10 bottom kernels hit 17.6M at 2^24 and
+# KU=9/PT=8 upper kernels 16.8M against the 16.00M v5e limit; KB=9/KU=8
+# compile at ~9M with no measurable runtime cost (the transform is
+# ALU-bound; tile size only changes grid granularity).
+KB = 9
+KU = 8
 PT = 8
-# scalar-hoisted constant-operand multiply: applied when a stage has few
-# distinct twiddles (blocks <= HOIST_MAX_BLOCKS) each spanning wide data.
-# Disabled by default: the extra per-block buffers pushed the upper-group
-# kernel from ~14M to 23.6M scoped VMEM at 2^24 (v5e limit is 16M).
-HOIST_MIN_WIDTH = 1024
-HOIST_MAX_BLOCKS = 0
-
-
-def _mul_hoisted(wu, v3):
-    """w*v where w is constant per block: wu (blocks, 128), v3
-    (blocks, width, 128), few blocks and wide width.
-
-    Per block, the w operand's bit-planes are *traced scalars*: the whole
-    Karatsuba forward expansion of w (~2k XORs) runs in scalar registers
-    and leaf ANDs are scalar-vector ops — ~14% fewer vector word-ops per
-    multiply.  Only profitable for small block counts (the per-block loop
-    repeats the v-side program), so callers gate on blocks <= HOIST_MAX_BLOCKS.
-    """
-    blocks, width, _ = v3.shape
-    outs = []
-    for b in range(blocks):
-        vt = v3[b].T                            # (W, width) — 2-D transpose
-        pa = [wu[b, i] for i in range(W)]       # scalar planes
-        pb = [vt[i] for i in range(W)]
-        out = _mul_planes(pa, pb, HEIGHT)
-        outs.append(jnp.stack(out).T[None])     # (1, width, W)
-    return jnp.concatenate(outs, axis=0) if blocks > 1 else outs[0]
 
 
 def _bit_masks(constants, offset: int, count: int) -> np.ndarray:
@@ -105,14 +81,19 @@ def _parity_planes(idx, mask):
 
 def plan_groups(log_nb: int) -> list[tuple[int, int, bool]]:
     """Split batch-index bits into (t0, k, include_low) groups, bottom-up."""
-    groups = []
-    kb = min(log_nb, KB)
-    groups.append((0, kb, True))
-    t0 = kb
-    while t0 < log_nb:
-        k = min(log_nb - t0, KU)
-        groups.append((t0, k, False))
-        t0 += k
+    groups = [(0, min(log_nb, KB), True)]
+    rem = log_nb - groups[0][1]
+    if rem > 0:
+        # balanced chunks: ceil(rem/KU) groups of near-equal size.  A
+        # greedy split leaves runt groups (k=1 at log_nb=19 with KU=8)
+        # whose tiny-vector kernels compile SLOWER than full ones (56s vs
+        # 11s measured) and add a whole extra Mosaic program.
+        n = -(-rem // KU)
+        t0 = groups[0][1]
+        for i in range(n):
+            k = rem // n + (1 if i < rem % n else 0)
+            groups.append((t0, k, False))
+            t0 += k
     return groups
 
 
@@ -134,14 +115,50 @@ def make_group_tables(rows, log_h: int, log_rate: int, t0: int, k: int,
     return (mtile, minst, lanes, zero)
 
 
+class _RefRows:
+    """Adapter marking a Pallas Ref whose rows are read with dynamic
+    starts inside the kernel (Mosaic lowers dynamic-start ref loads but
+    not dynamic_slice on materialised vectors)."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+
+def _row(t, st):
+    """Dynamic row st of a (n_stages, 128) table, kept 2-D: (1, 128)."""
+    if isinstance(t, _RefRows):
+        return t.ref[pl.ds(st, 1), :]
+    return jax.lax.dynamic_slice_in_dim(t, st, 1, axis=0)
+
+
 def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
                 pt: int, include_low: bool, zero_flags: tuple = (),
                 mul=_mul_vmem_sl):
     """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32 scalar.
 
     Pure jnp — called from the Pallas kernel AND (jitted directly) from the
-    CPU emulation used by the tests.  zero_flags[st] marks stages whose
-    twiddle is identically zero (top stage at rate 0): no multiply there.
+    CPU emulation used by the tests.
+
+    Constant-geometry (Pease-style) stage loop: every stage pairs the TOP
+    tile bit (u = xt[0::], v = xt[1::] of a (2, 2^(k-1), pt, 128) view) and
+    writes back interleaved (row j of each half -> row 2j+b), which rotates
+    the tile's index bits so the next stage's pairing bit is again on top;
+    after k stages the rotation is the identity.  The butterfly-block bits
+    (original index bits above the pairing bit — the only data-dependent
+    part of the twiddle indicator, additive_ntt.cuh:59-77) land in the low
+    ``st`` bits of the rotated index in exactly mtile's bit order, so the
+    per-stage twiddle masks apply unchanged.  The payoff: the body carries
+    ONE multiply instantiation inside a lax.fori_loop instead of one per
+    stage — the straight-line 3^7-AND multiply is ~15k vector ops, and the
+    per-stage unrolled chain (~15 copies at the bottom group) cost ~1000 s
+    of Mosaic compile at 2^24 (BENCH_r01) for a transform that runs in
+    105 ms.  Runtime op count is unchanged.
+
+    zero_flags[st] marks stages whose twiddle is identically zero (only the
+    global top stage at rate 0): handled as a static XOR-only butterfly
+    before the loop (leading positions only — asserted).
     dpl: optional (n_stages, 128) per-shard twiddle-correction planes (the
     device-index bits of the indicator, GF(2)-linear like everything else —
     see parallel/ntt128_sharded.py).
@@ -151,80 +168,82 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
     XLA:CPU can actually compile.
     """
     kk = 1 << k
-    jt = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+    half = kk // 2
+    jt = jax.lax.broadcasted_iota(jnp.uint32, (half, 1), 0)
 
-    def is_zero(st):
-        return bool(zero_flags[st]) if st < len(zero_flags) else False
+    n_zero = 0
+    while n_zero < len(zero_flags) and zero_flags[n_zero]:
+        n_zero += 1
+    assert not any(zero_flags[n_zero:]), (
+        "only leading zero-twiddle stages are supported (the global top "
+        "stage at rate 0)")
+    assert n_zero <= k
 
-    st = 0
-    for r in range(k - 1, -1, -1):
-        blocks = 1 << (k - 1 - r)
-        span = 1 << r
-        xv = xt.reshape(blocks, 2, span * pt, W)
-        u = xv[:, 0].reshape(blocks * span * pt, W)
-        v = xv[:, 1].reshape(blocks * span * pt, W)
-        if is_zero(st):
-            u2 = u                       # w == 0: u' = u, v' = u ^ v
-        else:
-            wfull = (_parity_planes(jt >> (r + 1), mtile[st])
-                     ^ _parity_planes(q, minst[st])[None, :])
-            if dpl is not None:
-                wfull = wfull ^ dpl[st][None, :]
-            # twiddle of the u element at tile index j depends only on bits
-            # above r, so the u-half slice [(blocks, 2, span, W)][:, 0]
-            # carries exactly one value per butterfly block
-            if span * pt >= HOIST_MIN_WIDTH and blocks <= HOIST_MAX_BLOCKS:
-                # constant-per-block twiddle: hoist its Karatsuba expansion
-                wu = wfull.reshape(blocks, 2, span, W)[:, 0, 0]  # (blocks, W)
-                prod = _mul_hoisted(
-                    wu, xv[:, 1].reshape(blocks, span * pt, W))
-                u2 = u ^ prod.reshape(blocks * span * pt, W)
-            else:
-                wu = wfull.reshape(blocks, 2, span, W)[:, 0]
-                wB = jnp.broadcast_to(
-                    wu[:, :, None, :], (blocks, span, pt, W))
-                u2 = u ^ mul(
-                    wB.reshape(blocks * span * pt, W), v)
-        v2 = u2 ^ v
-        xt = jnp.concatenate(
-            [u2.reshape(blocks, 1, span * pt, W),
-             v2.reshape(blocks, 1, span * pt, W)], axis=1
-        ).reshape(kk, pt, W)
-        st += 1
+    def _interleave(u2, v2):
+        # rotate write-back: (b, j) -> 2j + b
+        return jnp.stack(
+            [u2.reshape(half, pt, W), v2.reshape(half, pt, W)],
+            axis=1).reshape(kk, pt, W)
+
+    for _ in range(n_zero):              # w == 0: u' = u, v' = u ^ v
+        x3 = xt.reshape(2, half * pt, W)
+        xt = _interleave(x3[0], x3[0] ^ x3[1])
+
+    def hi_body(st, xt):
+        stu = st.astype(jnp.uint32) if hasattr(st, "astype") else jnp.uint32(st)
+        x3 = xt.reshape(2, half * pt, W)
+        u, v = x3[0], x3[1]
+        blk = jt & ((jnp.uint32(1) << stu) - jnp.uint32(1))
+        w = (_parity_planes(blk, _row(mtile, st))
+             ^ _parity_planes(q, _row(minst, st)))
+        if dpl is not None:
+            w = w ^ _row(dpl, st)
+        wB = jnp.broadcast_to(w[:, None, :], (half, pt, W))
+        u2 = u ^ mul(wB.reshape(half * pt, W), v)
+        return _interleave(u2, u2 ^ v)
+
+    if k - n_zero > 0:
+        xt = jax.lax.fori_loop(n_zero, k, hi_body, xt, unroll=False)
 
     if include_low:
         # low stages are lane-local; only the v half of each batch needs a
         # product, so PAIRS of batches pack their v-halves into one
-        # 32-lane multiply — half the multiplies of the naive form
+        # 32-lane multiply — half the multiplies of the naive form.  The
+        # stage-dependent shift/masks are traced scalars, so the 5 stages
+        # share one loop body (and one multiply instantiation) too.
         assert pt == 1
-        xf = xt.reshape(kk, W)
-        for i, s in enumerate(range(min(log_h - 1, 4), -1, -1)):
-            shift = 1 << s
-            um = jnp.uint32(_LANE_MASKS[s])
-            vm = jnp.uint32((_LANE_MASKS[s] << shift) & 0xFFFFFFFF)
+        assert min(log_h - 1, 4) == 4, "fused path needs log_h >= 5"
+        jtf = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+
+        def low_body(i, xf):
+            st = k + i
+            s = 4 - i
+            shift = jnp.uint32(1) << s.astype(jnp.uint32)
+            um = jnp.uint32(_LANE_MASKS[0])
+            for c in (1, 2, 3, 4):
+                um = jnp.where(s == c, jnp.uint32(_LANE_MASKS[c]), um)
+            vm = um << shift
             x2 = xf.reshape(kk // 2, 2, W)
             x0, x1 = x2[:, 0], x2[:, 1]
-            if is_zero(st):
-                un0, un1 = x0, x1       # w == 0: pure XOR butterfly
-            else:
-                wrow = (_parity_planes(jt, mtile[st])
-                        ^ _parity_planes(q, minst[st])[None, :]
-                        ^ lanes[i][None, :])      # (kk, W)
-                if dpl is not None:
-                    wrow = wrow ^ dpl[st][None, :]
-                w2 = wrow.reshape(kk // 2, 2, W)
-                # composite: even batch's v-values in u-slots, odd batch's
-                # in v-slots; twiddles arranged to match
-                comp = ((x0 >> shift) & um) | (x1 & vm)
-                wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
-                prod = mul(wcmp, comp)
-                un0 = x0 ^ (prod & um)
-                un1 = x1 ^ ((prod & vm) >> shift)
+            wrow = (_parity_planes(jtf, _row(mtile, st))
+                    ^ _parity_planes(q, _row(minst, st))
+                    ^ _row(lanes, i))             # (kk, W)
+            if dpl is not None:
+                wrow = wrow ^ _row(dpl, st)
+            w2 = wrow.reshape(kk // 2, 2, W)
+            # composite: even batch's v-values in u-slots, odd batch's
+            # in v-slots; twiddles arranged to match
+            comp = ((x0 >> shift) & um) | (x1 & vm)
+            wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
+            prod = mul(wcmp, comp)
+            un0 = x0 ^ (prod & um)
+            un1 = x1 ^ ((prod & vm) >> shift)
             y0 = (un0 & um) | ((x0 ^ (un0 << shift)) & vm)
             y1 = (un1 & um) | ((x1 ^ (un1 << shift)) & vm)
-            xf = jnp.concatenate(
-                [y0[:, None, :], y1[:, None, :]], axis=1).reshape(kk, W)
-            st += 1
+            return jnp.stack([y0, y1], axis=1).reshape(kk, W)
+
+        xf = jax.lax.fori_loop(0, 5, low_body, xt.reshape(kk, W),
+                               unroll=False)
         xt = xf.reshape(kk, pt, W)
     return xt
 
@@ -283,13 +302,13 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
 
     def kern(*refs):
         refs = list(refs)
-        mtile_ref = refs.pop(0)
-        minst_ref = refs.pop(0)
-        lns = refs.pop(0)[:] if include_low else None
-        dpl = refs.pop(0)[:] if dplanes is not None else None
+        mtile_ref = _RefRows(refs.pop(0))
+        minst_ref = _RefRows(refs.pop(0))
+        lns = _RefRows(refs.pop(0)) if include_low else None
+        dpl = _RefRows(refs.pop(0)) if dplanes is not None else None
         x_ref, out_ref = refs
         q = pl.program_id(0).astype(jnp.uint32)   # (coset << pre_bits) | pre
-        out_ref[0] = body(x_ref[0], q, mtile_ref[:], minst_ref[:], lns, dpl)
+        out_ref[0] = body(x_ref[0], q, mtile_ref, minst_ref, lns, dpl)
 
     in_specs = ([mspec, mspec] + ([lspec] if include_low else [])
                 + ([dspec] if dplanes is not None else []))

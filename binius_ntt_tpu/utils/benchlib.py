@@ -24,8 +24,16 @@ def _force(result) -> None:
     np.asarray(leaf.ravel()[:8])
 
 
-def device_time(fn, *args, reps: int = 8, trials: int = 3) -> float:
-    """Median-of-trials steady-state seconds per call of fn(*args)."""
+def device_time(fn, *args, reps: int = 8, trials: int = 3,
+                min_delta: float = 0.02, max_reps: int = 1024) -> float:
+    """Median-of-trials steady-state seconds per call of fn(*args).
+
+    The K-vs-1 subtraction is ill-conditioned when K executions take less
+    than timer/tunnel jitter — round-1 committed a literal 0.0 s for the
+    2^20 sumcheck round this way.  reps now adapts upward until the delta
+    clears ``min_delta`` of wall time, and a final non-positive estimate
+    raises instead of reporting an impossible number.
+    """
     _force(fn(*args))  # compile + warm
 
     def run(k: int) -> float:
@@ -36,13 +44,23 @@ def device_time(fn, *args, reps: int = 8, trials: int = 3) -> float:
         _force(r)
         return time.time() - t0
 
+    k = max(reps, 2)
+    t1 = run(1)
+    while run(k) - t1 < min_delta and k < max_reps:
+        k *= 2
+
     ests = []
     for _ in range(trials):
         t1 = run(1)
-        tk = run(reps)
-        ests.append((tk - t1) / (reps - 1))
+        tk = run(k)
+        ests.append((tk - t1) / (k - 1))
     ests.sort()
-    return max(ests[len(ests) // 2], 1e-9)
+    est = ests[len(ests) // 2]
+    if est <= 0:
+        raise RuntimeError(
+            f"non-physical device timing ({est:.3e} s/call at k={k}): "
+            "K-vs-1 delta collapsed — tunnel sync artifact, not a result")
+    return est
 
 
 def setup_compile_cache() -> None:

@@ -28,17 +28,14 @@ def _run_fused(log_h, log_rate, sliced):
     "log_h,log_rate,kb,ku,pt",
     [
         (8, 0, 10, 9, 8),   # single bottom group; zero-twiddle top-stage skip
-        (9, 1, 2, 2, 2),    # bottom + two upper groups (multi-group seams),
-                            # cosets, and (via HOIST_MIN_WIDTH=2) the hoisted
-                            # constant-operand multiply
+        (9, 1, 2, 2, 2),    # bottom + two upper groups (multi-group seams)
+                            # and cosets
     ],
 )
 def test_fused_matches_per_stage(log_h, log_rate, kb, ku, pt, monkeypatch):
     monkeypatch.setattr(pf, "KB", kb)
     monkeypatch.setattr(pf, "KU", ku)
     monkeypatch.setattr(pf, "PT", pt)
-    monkeypatch.setattr(pf, "HOIST_MIN_WIDTH", 2)
-    monkeypatch.setattr(pf, "HOIST_MAX_BLOCKS", 8)
     ntt = AdditiveNTT128(log_h, log_rate, use_pallas=False, use_fused=False)
     words = mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4)
     sliced = np.asarray(

@@ -110,3 +110,29 @@ def test_sharded_ntt128_fused_variants(log_h, log_rate, fused, monkeypatch):
     got = np.asarray(ShardedAdditiveNTT128(
         log_h, log_rate, mesh, use_fused=fused).apply_sliced(sliced))
     assert (ref == got).all()
+
+
+@needs_mesh
+def test_sharded_prime_sumcheck_bit_identical():
+    """QM31 sharded prover == single-chip prover, full protocol (the
+    prime-field analogue of the binary-field parity test; reference
+    reduction: prime_field_sumcheck/core/kernels.cu:70-77)."""
+    from binius_ntt_tpu.fields.m31 import P
+    from binius_ntt_tpu.parallel.prime_sharded import (
+        ShardedPrimeFieldSumcheck)
+    from binius_ntt_tpu.sumcheck.prime_field import PrimeFieldSumcheck
+
+    mesh = make_mesh()
+    nv = 7
+    rng = np.random.default_rng(51)
+    evals = rng.integers(0, P, size=(2, 1 << nv, 4), dtype=np.uint32)
+    chals = rng.integers(0, P, size=(nv, 4), dtype=np.uint32)
+
+    a = PrimeFieldSumcheck(evals)
+    b = ShardedPrimeFieldSumcheck(evals, mesh)
+    for r in range(nv):
+        pa = a.round_messages()
+        pb = b.round_messages()
+        assert np.array_equal(pa, pb), f"round {r} diverged"
+        a.fold(chals[r])
+        b.fold(chals[r])

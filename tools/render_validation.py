@@ -8,11 +8,25 @@ from collections import OrderedDict
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
 
+def _plausible(r) -> bool:
+    """Drop physically impossible timing rows (tunnel-sync artifacts from
+    the pre-guard device_time: e.g. '0.0 s' / 2.5e14 butterflies/s at
+    log 15 — ~250x the VPU speed of light).  device_time now raises on
+    these; old rows in the log are filtered here."""
+    if "seconds" in r and r["seconds"] < 1e-5:
+        return False
+    if r.get("butterflies_per_s", 0) > 1e11:
+        return False
+    return True
+
+
 def main():
     rows = {}
     with open(os.path.join(ROOT, "TPU_VALIDATION.jsonl")) as f:
         for line in f:
             r = json.loads(line)
+            if not _plausible(r):
+                continue
             key = (r["suite"],) + tuple(
                 r.get(k) for k in ("log_h", "log_len", "rate", "num_vars",
                                    "composition"))
@@ -50,6 +64,19 @@ def main():
             for r in rs:
                 out.append(f"| {r['log_h']} | {r['seconds']} | "
                            f"{r['butterflies_per_s']:.3e} |")
+        elif suite == "ntt128_golden":
+            out.append("| log_h | rate | pass | wall_s |")
+            out.append("|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['log_h']} | {r['rate']} | "
+                           f"{'PASS' if r['pass'] else '**FAIL**'} | "
+                           f"{r.get('wall_s', '')} |")
+        elif suite == "sumcheck128_perf":
+            out.append("| num_vars | composition | round_ms | fold_ms |")
+            out.append("|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['num_vars']} | {r['composition']} | "
+                           f"{r['round_ms']} | {r['fold_ms']} |")
         elif suite == "sumcheck128":
             out.append("| num_vars | composition | pass | protocol_s "
                        "(compile-dominated) |")

@@ -176,6 +176,101 @@ def run_ntt128(lo: int, hi: int):
         del sliced, x
 
 
+def run_ntt128_golden(lo: int, hi: int, rates=(0, 2)):
+    """GF(2^128) golden digest sweep on device — the same class of evidence
+    the GF(2^32) transform has from the reference's table (test_ntt.cu:52-
+    124); digests minted by the native C++ oracle (tools/gen_golden128.py),
+    which reproduces the reference's GF(2^32) table before minting."""
+    from golden_hashes_oracle import ADDITIVE_NTT128_HASHES
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for rate in rates:
+        for log_h in range(lo, hi + 1):
+            want = ADDITIVE_NTT128_HASHES.get(rate, {}).get(log_h)
+            if want is None:
+                continue
+            words = mt19937_stream(0xDEADBEEF + log_h + rate,
+                                   (1 << log_h) * 4)
+            t0 = time.time()
+            try:
+                out = _retry(lambda: np.asarray(
+                    AdditiveNTT128(log_h, rate).apply(words)))
+            except Exception as e:          # noqa: BLE001 — keep sweeping
+                _emit({"suite": "ntt128_golden", "log_h": log_h,
+                       "rate": rate, "pass": False, "error": str(e)[:160]})
+                continue
+            got = _digest(out)
+            _emit({"suite": "ntt128_golden", "log_h": log_h, "rate": rate,
+                   "golden": want, "got": got, "pass": got == want,
+                   "wall_s": round(time.time() - t0, 2)})
+            del out
+
+
+def run_rates(log_h32: int = 16, log_h128: int = 16):
+    """Value-level device pins for rates 1/3/4 (the reference accepts
+    log_rate in [0,4], nttconf.cuh:55-60, but commits goldens only for 0
+    and 2; these digests come from the native oracle)."""
+    from golden_hashes_oracle import (ADDITIVE_NTT32_EXTRA_HASHES,
+                                      ADDITIVE_NTT128_HASHES)
+    from binius_ntt_tpu.ntt.additive import AdditiveNTT
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for rate in (1, 3, 4):
+        want = ADDITIVE_NTT32_EXTRA_HASHES[rate][log_h32]
+        x = mt19937_stream(0xDEADBEEF + log_h32 + rate, 1 << log_h32)
+        got = _digest(_retry(
+            lambda: np.asarray(AdditiveNTT(log_h32, rate).apply(x))))
+        _emit({"suite": "additive_ntt32_rates", "log_h": log_h32,
+               "rate": rate, "golden": want, "got": got,
+               "pass": got == want})
+        want = ADDITIVE_NTT128_HASHES[rate][log_h128]
+        w = mt19937_stream(0xDEADBEEF + log_h128 + rate, (1 << log_h128) * 4)
+        got = _digest(_retry(
+            lambda: np.asarray(AdditiveNTT128(log_h128, rate).apply(w))))
+        _emit({"suite": "ntt128_rates", "log_h": log_h128, "rate": rate,
+               "golden": want, "got": got, "pass": got == want})
+
+
+def run_sumcheck_perf(num_vars: int = 24, comp: int = 2):
+    """Committed steady-state sumcheck round benchmark: mean device time of
+    one full round (messages + fold) at constant buffer occupancy, warm
+    cache, excluding compile — the number PERF.md cites.  Uses the same
+    fixed-shape Pallas kernels the protocol dispatches to."""
+    import jax
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.sumcheck import pallas_round as pr
+    from binius_ntt_tpu.sumcheck.prover import INTS_PER_VALUE, Sumcheck
+    from binius_ntt_tpu.utils.benchlib import device_time
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    evals = mt19937_stream(7, INTS_PER_VALUE * (1 << num_vars) * comp)
+    s = Sumcheck(evals, comp, num_vars)
+    rows = (1 << num_vars) // 32
+    challenge = jnp.asarray(mt19937_stream(11, INTS_PER_VALUE))
+
+    buf0 = s._device_evals
+    t_round = device_time(
+        lambda: pr.round_kernel(buf0, jnp.int32(rows), num_points=comp + 1))
+    # non-shrinking fold at full occupancy (protocol steady state); rebind
+    # the donated buffer each call so the in-place cost is the real one
+    state = {"buf": buf0}
+
+    def fold_step():
+        state["buf"] = pr.fold_kernel(state["buf"], challenge,
+                                      jnp.int32(rows))
+        return state["buf"]
+
+    t_fold = device_time(fold_step)
+    _emit({"suite": "sumcheck128_perf", "num_vars": num_vars,
+           "composition": comp,
+           "round_ms": round(t_round * 1e3, 4),
+           "fold_ms": round(t_fold * 1e3, 4),
+           "round_plus_fold_ms": round((t_round + t_fold) * 1e3, 4)})
+
+
 def run_sumcheck(*num_vars_list):
     """Full protocol with verifier-oracle round checks on TPU.
 
@@ -344,6 +439,12 @@ def main():
         run_bb31(*args)
     elif which == "ntt128":
         run_ntt128(*args)
+    elif which == "ntt128_golden":
+        run_ntt128_golden(*args)
+    elif which == "rates":
+        run_rates(*args)
+    elif which == "sumcheck_perf":
+        run_sumcheck_perf(*args)
     elif which == "sumcheck":
         run_sumcheck(*args)
     elif which == "prime":
