@@ -151,7 +151,10 @@ class AdditiveNTT:
         is within a few dispatch overheads of the fused program.
         """
         x = jnp.asarray(x, dtype=jnp.uint32)
-        assert x.shape == (1 << self.log_h,)
+        if x.shape != (1 << self.log_h,):
+            raise ValueError(
+                f"apply: input shape {x.shape} != (2^log_h,) = "
+                f"({1 << self.log_h},)")
         if self.use_fused:
             return self._apply_fused(x)
         if per_stage_jit is None:

@@ -208,21 +208,32 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
     if include_low:
         # low stages are lane-local; only the v half of each batch needs a
         # product, so PAIRS of batches pack their v-halves into one
-        # 32-lane multiply — half the multiplies of the naive form.  The
-        # stage-dependent shift/masks are traced scalars, so the 5 stages
-        # share one loop body (and one multiply instantiation) too.
+        # 32-lane multiply — half the multiplies of the naive form.
+        #
+        # Constant geometry IN-WORD too: every iteration pairs the top
+        # in-word bit (a STATIC shift-16 / 0xFFFF-mask butterfly), then a
+        # perfect out-shuffle of the 32 word bits (4 static delta swaps)
+        # rotates the in-word index so the next stage's bit is on top;
+        # 5 iterations restore the identity.  Static shifts matter: the
+        # traced-shift variant of this loop compiled ~20x slower under
+        # Mosaic.  The lanes table rows are pre-permuted per iteration by
+        # the same bit rotation (make_group_tables_sharded).
         assert pt == 1
         assert min(log_h - 1, 4) == 4, "fused path needs log_h >= 5"
         jtf = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+        um = jnp.uint32(0x0000FFFF)
+        vm = jnp.uint32(0xFFFF0000)
+
+        def _outshuffle(x):
+            # bit p=b*16+j -> 2j+b (rotl of the 5-bit position index)
+            for m, sh in ((0x0000FF00, 8), (0x00F000F0, 4),
+                          (0x0C0C0C0C, 2), (0x22222222, 1)):
+                t = ((x >> sh) ^ x) & jnp.uint32(m)
+                x = x ^ t ^ (t << sh)
+            return x
 
         def low_body(i, xf):
             st = k + i
-            s = 4 - i
-            shift = jnp.uint32(1) << s.astype(jnp.uint32)
-            um = jnp.uint32(_LANE_MASKS[0])
-            for c in (1, 2, 3, 4):
-                um = jnp.where(s == c, jnp.uint32(_LANE_MASKS[c]), um)
-            vm = um << shift
             x2 = xf.reshape(kk // 2, 2, W)
             x0, x1 = x2[:, 0], x2[:, 1]
             wrow = (_parity_planes(jtf, _row(mtile, st))
@@ -233,14 +244,15 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
             w2 = wrow.reshape(kk // 2, 2, W)
             # composite: even batch's v-values in u-slots, odd batch's
             # in v-slots; twiddles arranged to match
-            comp = ((x0 >> shift) & um) | (x1 & vm)
-            wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << shift)
+            comp = ((x0 >> 16) & um) | (x1 & vm)
+            wcmp = (w2[:, 0] & um) | ((w2[:, 1] & um) << 16)
             prod = mul(wcmp, comp)
             un0 = x0 ^ (prod & um)
-            un1 = x1 ^ ((prod & vm) >> shift)
-            y0 = (un0 & um) | ((x0 ^ (un0 << shift)) & vm)
-            y1 = (un1 & um) | ((x1 ^ (un1 << shift)) & vm)
-            return jnp.stack([y0, y1], axis=1).reshape(kk, W)
+            un1 = x1 ^ ((prod & vm) >> 16)
+            y0 = (un0 & um) | ((x0 ^ (un0 << 16)) & vm)
+            y1 = (un1 & um) | ((x1 ^ (un1 << 16)) & vm)
+            y = jnp.stack([y0, y1], axis=1).reshape(kk, W)
+            return _outshuffle(y)
 
         xf = jax.lax.fori_loop(0, 5, low_body, xt.reshape(kk, W),
                                unroll=False)
@@ -428,10 +440,18 @@ def make_group_tables_sharded(rows, log_h: int, log_rate: int, t0: int,
                         v ^= rows[s][m]
                 vals[j] = v
             planes = np.zeros(W, dtype=np.uint32)
+            # constant-geometry kernel: at iteration i = 4-s the word bits
+            # have been out-shuffled i times (content pos -> rotl5(pos)), so
+            # physical bit p holds element rotr5^i(p) — permute the plane
+            # bits to match (lanes_new bit p = twiddle of element rotr^i(p))
+            it = 4 - s
+            perm = [j for j in range(32)]
+            for _ in range(it):
+                perm = [((j >> 1) | ((j & 1) << 4)) & 31 for j in perm]
             for i in range(W):
                 acc = 0
-                for j in range(32):
-                    acc |= ((int(vals[j]) >> i) & 1) << j
+                for p in range(32):
+                    acc |= ((int(vals[perm[p]]) >> i) & 1) << p
                 planes[i] = acc
             lane_list.append(planes)
         lanes = np.stack(lane_list)

@@ -108,7 +108,10 @@ class NTTRadix2:
         superlinearly with size.  Defaults on for log_n >= 22.
         """
         x = jnp.asarray(x, dtype=jnp.uint32)
-        assert x.shape == (1 << self.log_n,)
+        if x.shape != (1 << self.log_n,):
+            raise ValueError(
+                f"apply: input shape {x.shape} != (2^log_n,) = "
+                f"({1 << self.log_n},)")
         if self.use_fused:
             if not input_bit_reversed:
                 x = _bitrev_split(x, self._rev_a, self._rev_b,
