@@ -18,15 +18,18 @@ Packed bit-sliced layout (PACK = 4 blocks per 128-lane row):
   * row r of the packed (nb/4, 128) array holds blocks 4r..4r+3 at lane
     groups [32c, 32c+32) — a plain reshape of the (nb, 32) sliced form.
 
-Stage decomposition (DIT, stages log_h-1 .. 0, additive_ntt.cuh:138-154):
+Stage decomposition (DIT, stages log_h-1 .. 0, additive_ntt.cuh:138-154).
+Every tile is transposed ONCE on entry to the plane-major (4, 32, lanes)
+view (lanes = packed-row index) and once back on exit; all stages run
+plane-major — no per-multiply transposes (see _group_body32):
 
-  * stages s >= 7 pair rows (bit s-7 of r) — handled like the GF(2^128)
-    fused kernel's high stages, in row orientation;
-  * stages 6 and 5 pair lane groups (bits of c) — after ONE in-kernel 2-D
-    transpose to the plane-major (4, 32, kk) view these are plain
-    major-axis butterflies (no lane shuffles);
+  * stages s >= 7 pair rows (bit s-7 of r) — lane-axis butterflies at
+    span pt*2^rbit via pltpu.roll + lane-parity selects, c-slab pairs
+    packing their v halves into one half-tile multiply;
+  * stages 6 and 5 pair lane groups (bits of c) — major-axis butterflies
+    on the slab axis (no lane shuffles);
   * stages s < 5 pair bits inside each word — the masked word-shift
-    butterfly of ntt/additive_bitsliced.py, already plane-major.
+    butterfly of ntt/additive_bitsliced.py.
 
 Twiddles are GF(2)-linear in the indicator bits (calculate_twiddle,
 additive_ntt.cuh:59-77), so each stage needs only a (32,) parity-mask
@@ -43,7 +46,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fused import _parity_planes
 from .pallas_kernels import _mul_planes
 
 W32 = 32
@@ -72,21 +74,13 @@ def _bit_masks32(constants, offset: int, count: int) -> np.ndarray:
     return out
 
 
-def _mul32(a, b):
-    """Bit-sliced GF(2^32) multiply on packed (N, 128) rows.
-
-    Transposes to the plane-major (PACK, 32, N) view so each of the 32
-    plane slabs is a dense (4, N) tile, then runs the straight-line
-    Karatsuba circuit (3^5 = 243 leaf ANDs — the reference's
-    multiply_unrolled<5>, binary_tower_unrolled5.cu, emitted by tracing).
-    """
-    n = a.shape[0]
-    at = a.T.reshape(PACK, W32, n)
-    bt = b.T.reshape(PACK, W32, n)
-    pa = [at[:, i] for i in range(W32)]
-    pb = [bt[:, i] for i in range(W32)]
-    out = _mul_planes(pa, pb, 5)
-    return jnp.stack(out, axis=1).reshape(PACK * W32, n).T
+def _roll_l(x, s: int, emulate: bool):
+    """Cyclic roll toward higher lane index by s along the last axis."""
+    if s == 0 or s == x.shape[-1]:
+        return x
+    if emulate:
+        return jnp.roll(x, s, axis=-1)
+    return pltpu.roll(x, s, axis=x.ndim - 1)
 
 
 def _mul32_pm(wa, vb):
@@ -175,25 +169,27 @@ def make_group_tables32(rows, log_h: int, log_rate: int, t0: int, k: int,
 
     rows: precompute_subspace_evals(log_h, log_rate, 5) (python ints).
     Row-pairing stage s = 7 + t0 + rbit has indicator
-    coset << (log_h-1-s) | (r >> (rbit+1) within-group bits first); masks
-    are tiled x4 across lane groups (the twiddle is c-independent).
+    coset << (log_h-1-s) | (r >> (rbit+1) within-group bits first); the
+    twiddle is c-independent, so one (32,) plane mask serves all slabs.
     """
     mtile, minst = [], []
     zero = []
-    # high (row-pairing) stages s = 7+t0+k-1 .. 7+t0, descending
+    # high (row-pairing) stages s = 7+t0+k-1 .. 7+t0, descending.  Masks
+    # are plane-major (32,) — the kernel consumes them via _parity_pm on
+    # the tile's lane (= packed-row) index.
     for rbit in range(k - 1, -1, -1):
         s = 7 + t0 + rbit
         m0 = k - 1 - rbit          # tile bits in the butterfly-block index
         nbits = log_h + log_rate - 1 - s
         mt = _bit_masks32(rows[s], 0, min(m0, nbits))
         mi = _bit_masks32(rows[s], m0, max(nbits - m0, 0))
-        mtile.append(np.tile(mt, PACK))
-        minst.append(np.tile(mi, PACK))
+        mtile.append(mt)
+        minst.append(mi)
         zero.append(not mt.any() and not mi.any())
     mtile = (np.stack(mtile) if mtile
-             else np.zeros((0, PACK * W32), dtype=np.uint32))
+             else np.zeros((0, W32), dtype=np.uint32))
     minst = (np.stack(minst) if minst
-             else np.zeros((0, PACK * W32), dtype=np.uint32))
+             else np.zeros((0, W32), dtype=np.uint32))
 
     if not include_low:
         return dict(mtile=mtile, minst=minst, zero=tuple(zero))
@@ -250,45 +246,72 @@ def make_group_tables32(rows, log_h: int, log_rate: int, t0: int, k: int,
 
 
 def _group_body32(xt, q, tabs, *, k: int, pt: int, include_low: bool,
-                  zero: tuple):
+                  zero: tuple, emulate: bool = False):
     """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32.
 
-    Pure jnp — called from the Pallas kernel and (vmapped) from the CPU
-    emulation used by the tests.
+    Pure jnp apart from pltpu.roll — called from the Pallas kernel and
+    (vmapped, emulate=True) from the CPU emulation used by the tests.
+
+    Plane-major throughout: the tile is transposed ONCE on entry to four
+    (32, N) plane slabs (N = 2^k * pt lanes = packed-row index), every
+    row-pairing stage is a lane-axis butterfly at span pt*2^rbit —
+    pltpu.roll aligns the v half onto the u lanes, two c-slab pairs pack
+    their v values into one half-tile multiply — and the tile is
+    transposed back on exit.  This removes the 3 per-stage 2-D transposes
+    the previous row-major form paid around every multiply (the
+    ~30%-of-SoL gap documented in PERF.md).
     """
     kk = 1 << k
-    jt = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+    n = kk * pt
+    lpt = pt.bit_length() - 1
+
+    xT = xt.reshape(n, 128).T.reshape(PACK, W32, n)     # [c, p, lane]
+    slabs = [xT[0], xT[1], xT[2], xT[3]]
+    li = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)  # lane index
 
     st = 0
     for rbit in range(k - 1, -1, -1):
-        blocks = 1 << (k - 1 - rbit)
-        span = 1 << rbit
-        xv = xt.reshape(blocks, 2, span * pt, 128)
-        u = xv[:, 0].reshape(blocks * span * pt, 128)
-        v = xv[:, 1].reshape(blocks * span * pt, 128)
+        span = pt << rbit
+        upos = ((li & jnp.uint32(span)) == 0)[None, :]  # (1, n) bool
         if zero[st]:
-            u2 = u
+            slabs = [jnp.where(upos, s, s ^ _roll_l(s, span, emulate))
+                     for s in slabs]
         else:
-            wfull = (_parity_planes(jt >> (rbit + 1), tabs["mtile"][st])
-                     ^ _parity_planes(q, tabs["minst"][st])[None, :])
-            # twiddle of the u element at tile index depends only on bits
-            # above rbit -> one value per butterfly block
-            wu = wfull.reshape(blocks, 2, span, 128)[:, 0]
-            wB = jnp.broadcast_to(wu[:, :, None, :], (blocks, span, pt, 128))
-            u2 = u ^ _mul32(wB.reshape(blocks * span * pt, 128), v)
-        v2 = u2 ^ v
-        xt = jnp.concatenate(
-            [u2.reshape(blocks, 1, span * pt, 128),
-             v2.reshape(blocks, 1, span * pt, 128)], axis=1
-        ).reshape(kk, pt, 128)
+            # twiddle depends only on lane bits above the pair bit (+ q)
+            w = (_parity_pm(li >> (lpt + rbit + 1), tabs["mtile"][st])
+                 ^ _parity_scalar_pm(q, tabs["minst"][st]))     # (32, n)
+            # composite: slab 2i's v values rolled onto its u lanes, slab
+            # 2i+1's v values in place -> products for BOTH slabs of the
+            # pair in one (2, 32, n) multiply
+            comp = jnp.stack([
+                jnp.where(upos, _roll_l(slabs[0], n - span, emulate),
+                          slabs[1]),
+                jnp.where(upos, _roll_l(slabs[2], n - span, emulate),
+                          slabs[3]),
+            ])
+            prod = _mul32_pm(w[None], comp)
+            z = jnp.zeros((), jnp.uint32)
+            out = []
+            for i in range(2):
+                # even slab: its products sit on the u lanes already
+                a = slabs[2 * i] ^ jnp.where(upos, prod[i], z)
+                out.append(jnp.where(upos, a,
+                                     a ^ _roll_l(a, span, emulate)))
+                # odd slab: products on the v lanes, roll down to u
+                pv = jnp.where(upos, z, prod[i])
+                b = slabs[2 * i + 1] ^ _roll_l(pv, n - span, emulate)
+                out.append(jnp.where(upos, b,
+                                     b ^ _roll_l(b, span, emulate)))
+            slabs = out
         st += 1
 
+    xT = jnp.stack(slabs)
+
     if not include_low:
-        return xt
+        return xT.reshape(128, n).T.reshape(kk, pt, 128)
 
     assert pt == 1
-    jt2 = jax.lax.broadcasted_iota(jnp.uint32, (kk,), 0)
-    xT = xt.reshape(kk, 128).T.reshape(PACK, W32, kk)   # [c, p, r]
+    jt2 = li
 
     def low_w(i):
         return (_parity_pm(jt2, tabs["mlo_t"][i])
@@ -359,7 +382,8 @@ def stage_group32(x, tabs, *, t0: int, k: int, include_low: bool,
 
     x5 = x.reshape(n_inst, kk, post, 128)
     body = functools.partial(_group_body32, k=k, pt=pt,
-                             include_low=include_low, zero=tabs["zero"])
+                             include_low=include_low, zero=tabs["zero"],
+                             emulate=emulate)
     tab_arrays = [tabs["mtile"], tabs["minst"]]
     if include_low:
         tab_arrays += [tabs["mlo_t"], tabs["mlo_i"], tabs["cpl"], tabs["lpl"]]
