@@ -47,16 +47,55 @@ def _mulhi32(a, b):
     return a1 * b1 + (mid >> 16) + (mid2 >> 16)
 
 
+def _mul32_full(a, b):
+    """(low, high) 32 bits of a*b from ONE set of four 16x16 limb
+    products — ``a * b`` and ``_mulhi32(a, b)`` computed separately cost
+    the limb products twice (XLA can't CSE across the two lowerings)."""
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    t = a0 * b0
+    m1 = a0 * b1
+    m2 = a1 * b0
+    mid = m1 + (t >> 16)
+    mid2 = m2 + (mid & 0xFFFF)
+    hi = a1 * b1 + (mid >> 16) + (mid2 >> 16)
+    lo = t + ((m1 + m2) << 16)
+    return lo, hi
+
+
+def _mulhi_P(a):
+    """High 32 bits of a * P, specialised for P = 0x78000001.
+
+    P's limbs are b0 = 1, b1 = 0x7800 = (1<<15) - (1<<11), so the four
+    generic 16x16 limb products collapse to shifts: integer multiplies
+    are the scarce VPU resource in this kernel (PERF.md BB31 section),
+    and this removes 4 of the generic path's 11 per-butterfly multiplies.
+    """
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    mid = (a0 << 15) - (a0 << 11)          # a0 * 0x7800  (< 2^31)
+    mid2 = a1 + (mid & 0xFFFF)             # a1 * b0 + carry limb
+    return (a1 << 15) - (a1 << 11) + (mid >> 16) + (mid2 >> 16)
+
+
 def mont_mul(a, b):
     """Montgomery multiply: REDC(a*b); risc0_baby_bear.h:172-179.
 
-    ret = hi(a*b) + hi(red*P) + (lo(a*b) != 0), red = M * lo(a*b) mod 2^32,
-    then one conditional subtract.
+    ret = hi(a*b) + hi(red*P) + (lo(a*b) != 0), red = -(M * lo(a*b))
+    mod 2^32, then one conditional subtract.
+
+    Multiply-count: the reference form costs 11 emulated u32 multiplies
+    per call; here only the four 16x16 limb products of a*b remain —
+    ``M * lo`` is shift-only (M = 0x88000001 = 2^31 + 2^27 + 1, and the
+    reference's trailing ``* 0xFFFFFFFF`` is just negation), and
+    ``hi(red*P)`` is shift-only via _mulhi_P.  Integer multiplies are
+    the scarce VPU resource in the BB31 kernel (PERF.md).
     """
-    lo = a * b
-    hi = _mulhi32(a, b)
-    red = jnp.uint32(M) * lo * jnp.uint32(0xFFFFFFFF)  # red = M * (-lo): -lo == lo * (2^32-1)
-    ret = hi + _mulhi32(red, jnp.uint32(P)) + (lo != 0).astype(jnp.uint32)
+    lo, hi = _mul32_full(a, b)
+    red = jnp.uint32(0) - (lo + (lo << 31) + (lo << 27))
+    ret = hi + _mulhi_P(red) + (lo != 0).astype(jnp.uint32)
     return jnp.where(ret >= P, ret - P, ret)
 
 
