@@ -60,6 +60,12 @@ KB = 11
 KU = 8
 PT = 8
 
+# plane-major row stages (_group_body32: no per-multiply transposes) vs
+# the row-major fallback (_group_body32_rm).  Default OFF until the
+# long-lane-axis pltpu.roll lowering is validated on the device; the
+# math of both bodies is emulation-tested bit-exact.
+PLANE_MAJOR32 = False
+
 _LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
 
 
@@ -311,7 +317,15 @@ def _group_body32(xt, q, tabs, *, k: int, pt: int, include_low: bool,
         return xT.reshape(128, n).T.reshape(kk, pt, 128)
 
     assert pt == 1
-    jt2 = li
+    return _cj_stages32(xT, q, tabs, kk=kk, st=st)
+
+
+def _cj_stages32(xT, q, tabs, *, kk: int, st: int):
+    """The c-bit (stages 6, 5) and in-word (4..0) section on the
+    plane-major (PACK, 32, kk) view; returns the row-major tile.
+    Shared by the plane-major and row-major group bodies."""
+    zero = tabs["zero"]
+    jt2 = jax.lax.broadcasted_iota(jnp.uint32, (kk,), 0)
 
     def low_w(i):
         return (_parity_pm(jt2, tabs["mlo_t"][i])
@@ -371,6 +385,62 @@ def _group_body32(xt, q, tabs, *, k: int, pt: int, include_low: bool,
     return xT.reshape(128, kk).T.reshape(kk, 1, 128)
 
 
+def _group_body32_rm(xt, q, tabs, *, k: int, pt: int, include_low: bool,
+                     zero: tuple, emulate: bool = False):
+    """Row-major fallback body (the pre-plane-major form): row-pairing
+    stages butterfly on the sublane axis and pay 3 2-D transposes around
+    every multiply (_mul32).  Kept as the device-proven path until the
+    plane-major body's pltpu.roll lowering is validated on hardware
+    (PLANE_MAJOR32)."""
+    kk = 1 << k
+    jt = jax.lax.broadcasted_iota(jnp.uint32, (kk,), 0)
+
+    st = 0
+    for rbit in range(k - 1, -1, -1):
+        blocks = 1 << (k - 1 - rbit)
+        span = 1 << rbit
+        xv = xt.reshape(blocks, 2, span * pt, 128)
+        u = xv[:, 0].reshape(blocks * span * pt, 128)
+        v = xv[:, 1].reshape(blocks * span * pt, 128)
+        if zero[st]:
+            u2 = u
+        else:
+            wpm = (_parity_pm(jt >> (rbit + 1), tabs["mtile"][st])
+                   ^ _parity_scalar_pm(q, tabs["minst"][st]))   # (32, kk)
+            wfull = jnp.tile(wpm.T, (1, PACK))                  # (kk, 128)
+            # twiddle of the u element at tile index depends only on bits
+            # above rbit -> one value per butterfly block
+            wu = wfull.reshape(blocks, 2, span, 128)[:, 0]
+            wB = jnp.broadcast_to(wu[:, :, None, :], (blocks, span, pt, 128))
+            u2 = u ^ _mul32(wB.reshape(blocks * span * pt, 128), v)
+        v2 = u2 ^ v
+        xt = jnp.concatenate(
+            [u2.reshape(blocks, 1, span * pt, 128),
+             v2.reshape(blocks, 1, span * pt, 128)], axis=1
+        ).reshape(kk, pt, 128)
+        st += 1
+
+    if not include_low:
+        return xt
+
+    assert pt == 1
+    xT = xt.reshape(kk, 128).T.reshape(PACK, W32, kk)   # [c, p, r]
+    return _cj_stages32(xT, q, tabs, kk=kk, st=st)
+
+
+def _mul32(a, b):
+    """Bit-sliced GF(2^32) multiply on packed (N, 128) rows (row-major
+    fallback): transposes to the plane-major (PACK, 32, N) view, runs the
+    straight-line circuit, transposes back."""
+    n = a.shape[0]
+    at = a.T.reshape(PACK, W32, n)
+    bt = b.T.reshape(PACK, W32, n)
+    pa = [at[:, i] for i in range(W32)]
+    pb = [bt[:, i] for i in range(W32)]
+    out = _mul_planes(pa, pb, 5)
+    return jnp.stack(out, axis=1).reshape(PACK * W32, n).T
+
+
 def stage_group32(x, tabs, *, t0: int, k: int, include_low: bool,
                   cosets: int, log_nbr: int, emulate: bool = False):
     """One stage group over x: (cosets, nbr, 128) -> same shape."""
@@ -381,7 +451,8 @@ def stage_group32(x, tabs, *, t0: int, k: int, include_low: bool,
     kk = 1 << k
 
     x5 = x.reshape(n_inst, kk, post, 128)
-    body = functools.partial(_group_body32, k=k, pt=pt,
+    body_fn = _group_body32 if PLANE_MAJOR32 else _group_body32_rm
+    body = functools.partial(body_fn, k=k, pt=pt,
                              include_low=include_low, zero=tabs["zero"],
                              emulate=emulate)
     tab_arrays = [tabs["mtile"], tabs["minst"]]

@@ -1,0 +1,94 @@
+"""A/B the plane-major vs row-major fused-NTT bodies on the device.
+
+One variant per invocation (so the persistent compile cache can't blur
+compile-time comparisons across variants):
+
+    python tools/device_pm_ab.py ntt128 20 pm      # PLANE_MAJOR=True
+    python tools/device_pm_ab.py ntt128 20 rm
+    python tools/device_pm_ab.py ntt32  24 pm      # PLANE_MAJOR32=True
+    python tools/device_pm_ab.py ntt32  24 rm
+
+Checks the oracle golden digest for the size (bit-exactness through the
+whole Mosaic lowering, including the dynamic-shift pltpu.roll path the
+plane-major bodies rely on), then reports compile wall time and warm
+steady-state per-transform time.  Appends a JSON line to
+TPU_VALIDATION.jsonl (suite pm_ab).
+"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPORT = os.path.join(os.path.dirname(__file__), "..", "TPU_VALIDATION.jsonl")
+
+
+def _digest(arr) -> str:
+    return hashlib.md5(np.asarray(arr).astype("<u4").tobytes()).hexdigest()
+
+
+def main():
+    which, log_h, variant = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    rate = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    from binius_ntt_tpu.utils.benchlib import device_time, setup_compile_cache
+
+    setup_compile_cache()
+    from golden_hashes_oracle import ADDITIVE_NTT128_HASHES
+    from golden_hashes import ADDITIVE_NTT_HASHES
+    from binius_ntt_tpu.ntt import pallas_fused as pf
+    from binius_ntt_tpu.ntt import pallas_fused32 as pf32
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    pf.PLANE_MAJOR = variant == "pm"
+    pf32.PLANE_MAJOR32 = variant == "pm"
+
+    t0 = time.time()
+    if which == "ntt128":
+        from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+
+        x = mt19937_stream(0xDEADBEEF + log_h + rate, (1 << log_h) * 4)
+        ntt = AdditiveNTT128(log_h, rate, use_fused=True)
+        out = np.asarray(ntt.apply(x))
+        compile_s = time.time() - t0
+        want = ADDITIVE_NTT128_HASHES.get(rate, {}).get(log_h)
+        run = lambda: ntt.apply(x)  # noqa: E731
+        stages = log_h
+    elif which == "ntt32":
+        from binius_ntt_tpu.ntt.additive import AdditiveNTT
+
+        x = mt19937_stream(0xDEADBEEF + log_h + rate, 1 << log_h)
+        ntt = AdditiveNTT(log_h, rate, use_fused=True)
+        out = np.asarray(ntt.apply(x))
+        compile_s = time.time() - t0
+        want = ADDITIVE_NTT_HASHES.get(rate, {}).get(log_h)
+        run = lambda: ntt.apply(x)  # noqa: E731
+        stages = log_h
+    else:
+        raise SystemExit(f"unknown target {which}")
+
+    got = _digest(out)
+    ok = want is None or got == want
+    secs = device_time(run)
+    rec = {
+        "suite": "pm_ab", "target": which, "variant": variant,
+        "log_h": log_h, "rate": rate, "golden": "PASS" if ok else "FAIL",
+        "digest": got, "time_to_first_result_s": round(compile_s, 2),
+        "seconds": round(secs, 6),
+        "butterflies_per_s": round(stages * (1 << (log_h - 1)) / secs, 3),
+        "ts": round(time.time(), 1),
+    }
+    with open(REPORT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
