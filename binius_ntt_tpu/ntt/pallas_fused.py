@@ -357,7 +357,6 @@ def _group_body_pm(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int,
     bottom = pt == 1
     if bottom:
         lanes_n = half
-        ns = 1
         # stage 0: major-axis butterfly between the tile halves
         x3 = xt.reshape(2, half, W)
         u, v = x3[0], x3[1]
@@ -385,7 +384,6 @@ def _group_body_pm(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int,
     else:
         assert pt % 2 == 0
         lanes_n = kk
-        ns = pt // 2
         # one 2-D transpose per p-slab (static loop, pt small)
         slabs = [xt[:, p, :].T for p in range(pt)]     # each (W, kk)
         xe = jnp.stack(slabs[0::2])                    # (pt/2, W, kk)

@@ -13,7 +13,8 @@ EVERY process).  Launch recipe (one command per host)::
     JAX_COORDINATOR_ADDRESS=host0:8476 \\
     JAX_NUM_PROCESSES=N JAX_PROCESS_ID=i  python your_driver.py
 
-On Cloud TPU pods, ``initialize_distributed()`` with no env falls back to
+On Cloud TPU pods (detected by a multi-entry ``TPU_WORKER_HOSTNAMES``),
+``initialize_distributed()`` with no env falls back to
 ``jax.distributed.initialize()``'s own auto-detection (TPU metadata).
 """
 
@@ -58,9 +59,17 @@ def initialize_distributed(coordinator_address: str | None = None,
         process_id = int(env_pid)
 
     if coordinator_address is None and num_processes in (None, 1):
+        # No explicit configuration.  On a multi-host Cloud TPU pod the
+        # runtime publishes the worker list (TPU_WORKER_HOSTNAMES); there,
+        # a bare jax.distributed.initialize() self-configures from TPU
+        # metadata.  A single-entry (or absent) list is the single-process
+        # dev/test surface — leave it untouched.
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([w for w in workers.split(",") if w.strip()]) > 1:
+            jax.distributed.initialize()
+            _initialized = True
+            return True
         return False                     # single-process: nothing to do
-    if num_processes == 1 and coordinator_address is None:
-        return False
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -73,7 +73,13 @@ class ShardedPrimeFieldSumcheck:
         evals = np.ascontiguousarray(np.asarray(evals, dtype=np.uint32))
         assert evals.ndim == 3 and evals.shape[0] == 2 and evals.shape[2] == 4
         b = evals.shape[1]
-        assert b % (2 * self.n_dev) == 0, "need >= 2 rows per device"
+        # the per-round halving requires a power of two (a non-power-of-two
+        # local count would silently broadcast in the fold's lower/upper
+        # split instead of erroring) and >= 2 rows per device
+        if b & (b - 1) or b < 2 * self.n_dev:
+            raise ValueError(
+                f"evals rows ({b}) must be a power of two with >= 2 rows "
+                f"per device ({self.n_dev} devices)")
         self._num_rows = b
 
         # cyclic resharding: row r -> (device r % D, local index r // D);

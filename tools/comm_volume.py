@@ -26,7 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _COLLECTIVES = ("collective-permute", "all-gather", "all-reduce",
-                "all-to-all")
+                "reduce-scatter", "ragged-all-to-all", "all-to-all")
 _DTYPE_BYTES = {"u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8,
                 "u16": 2, "s16": 2, "u8": 1, "s8": 1, "pred": 1}
 
@@ -43,13 +43,13 @@ def collective_bytes(hlo_text: str) -> dict:
         dtype, dims, kind = m.group(1), m.group(2), m.group(3)
         if dtype is None:
             # tuple-shaped result (e.g. all-reduce of several operands):
-            # sum the element shapes inside the parens
-            start = m.start()
-            line = hlo_text[hlo_text.rfind("\n", 0, start) + 1:
-                            hlo_text.find("\n", start)]
+            # sum the element shapes between '=' and the op kind — sliced
+            # by match-group positions, NOT by splitting the line on the
+            # kind string (the instruction's own NAME usually contains it,
+            # e.g. '%all-reduce.1 = ...')
             size = 0
-            for dt, ds in re.findall(r"(\w+)\[([\d,]*)\]", line.split(
-                    kind)[0]):
+            tuple_text = hlo_text[m.start():m.start(3)]
+            for dt, ds in re.findall(r"(\w+)\[([\d,]*)\]", tuple_text):
                 n = 1
                 for d in ds.split(","):
                     if d:
