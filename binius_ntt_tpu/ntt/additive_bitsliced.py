@@ -153,7 +153,12 @@ class AdditiveNTT128:
         """Compact interface: x_words (2^log_h * 4,) uint32 little-endian
         element-major -> (2^(log_h+log_rate) * 4,) words."""
         n = 1 << self.log_h
-        x = jnp.asarray(x_words, dtype=jnp.uint32).reshape(n // 32, W)
+        x = jnp.asarray(x_words, dtype=jnp.uint32)
+        if x.shape != (n * IPV,):
+            raise ValueError(
+                f"apply: input shape {x.shape} != (2^log_h * {IPV},) = "
+                f"({n * IPV},)")
+        x = x.reshape(n // 32, W)
         sliced = jax.jit(bitslice_transpose)(x)
         out = self.apply_sliced(sliced)
         back = jax.jit(bitslice_untranspose)(out)
