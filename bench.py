@@ -128,7 +128,32 @@ def bench_radix2(log_n: int = 24):
     return best
 
 
+def _device_preflight(timeout_s: float = 180.0) -> bool:
+    """PJRT init hangs indefinitely when the axon tunnel relay is down
+    (observed 2026-08-17: client init blocks with nothing listening on the
+    relay ports).  Probe device discovery in a child process under a
+    timeout so a dead tunnel yields a diagnostic JSON line, not a hang."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_preflight():
+        print(json.dumps({
+            "metric": "additive_ntt128_butterflies_per_s_chip",
+            "value": 0, "unit": "butterflies/s", "vs_baseline": 0,
+            "extras": {"error": "device backend unreachable "
+                                "(PJRT init timed out)"},
+        }))
+        return
+
     # persistent compilation cache: repeat bench runs skip recompilation
     from binius_ntt_tpu.utils.benchlib import setup_compile_cache
 
