@@ -146,13 +146,16 @@ def _device_preflight(timeout_s: float = 180.0) -> bool:
 
 def main():
     if not _device_preflight():
+        # Error-only record: no numeric value (a 0 here can be ingested
+        # downstream as a real measurement), and a nonzero exit so
+        # automation does not see success with an unreachable device.
         print(json.dumps({
             "metric": "additive_ntt128_butterflies_per_s_chip",
-            "value": 0, "unit": "butterflies/s", "vs_baseline": 0,
+            "value": None, "unit": "butterflies/s", "vs_baseline": None,
             "extras": {"error": "device backend unreachable "
                                 "(PJRT init timed out)"},
         }))
-        return
+        sys.exit(1)
 
     # persistent compilation cache: repeat bench runs skip recompilation
     from binius_ntt_tpu.utils.benchlib import setup_compile_cache

@@ -115,8 +115,16 @@ class ShardedPrimeFieldSumcheck:
         self._num_rows //= 2
         self.round += 1
         if self._num_rows == self.n_dev:
-            # one row per device: global row r == d, already in order
-            gathered = np.asarray(self._device_evals)      # (D, 2, 1, 4)
+            # one row per device: global row r == d, already in order.
+            # Replicate on device before materialising: np.asarray on a
+            # Pspec(AXIS)-sharded array raises for non-addressable shards
+            # under a multi-process runtime; a replicated array is fully
+            # addressable on every process.
+            replicate = jax.jit(
+                lambda e: e,
+                out_shardings=NamedSharding(self.mesh, Pspec()))
+            gathered = np.asarray(
+                replicate(self._device_evals))             # (D, 2, 1, 4)
             state = gathered[:, :, 0, :].transpose(1, 0, 2)  # (2, D, 4)
             self._tail = PrimeFieldSumcheck(jnp.asarray(state))
             self._device_evals = None

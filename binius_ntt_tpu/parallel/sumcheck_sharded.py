@@ -151,8 +151,15 @@ class ShardedSumcheck:
         self._device_evals = self._fold_fn(self._device_evals, coeff)
         self.round += 1
         if self._local_rows == 1:
-            # gather: rows are (j=0, d) -> global row r = d, already ordered
-            gathered = np.asarray(self._device_evals)  # (D, C, 1, W)
+            # gather: rows are (j=0, d) -> global row r = d, already ordered.
+            # Replicate on device first — np.asarray on a Pspec(AXIS)-sharded
+            # array raises for non-addressable shards under a multi-process
+            # runtime; a replicated array is addressable on every process.
+            replicate = jax.jit(
+                lambda e: e,
+                out_shardings=NamedSharding(self.mesh, Pspec()))
+            gathered = np.asarray(
+                replicate(self._device_evals))         # (D, C, 1, W)
             state = gathered[:, :, 0, :].transpose(1, 0, 2)  # (C, D, W)
             self._tail = Sumcheck._from_state(
                 jnp.asarray(state), self.composition_size, self.num_vars,

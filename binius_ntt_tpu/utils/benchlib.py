@@ -44,10 +44,21 @@ def device_time(fn, *args, reps: int = 8, trials: int = 3,
         _force(r)
         return time.time() - t0
 
+    # Calibrate k with fresh t1 samples each iteration: a single noisy
+    # t1 (tunnel hiccup) must not inflate k toward max_reps and multiply
+    # bench wall time.  min() of two samples bounds the jitter.
     k = max(reps, 2)
-    t1 = run(1)
-    while run(k) - t1 < min_delta and k < max_reps:
+    while k < max_reps:
+        t1 = min(run(1), run(1))
+        if run(k) - t1 >= min_delta:
+            break
         k *= 2
+    else:
+        import warnings
+
+        warnings.warn(
+            f"device_time: K-vs-1 delta never cleared {min_delta}s at "
+            f"k={k}; estimate may be under-resolved", RuntimeWarning)
 
     ests = []
     for _ in range(trials):

@@ -73,11 +73,14 @@ def main():
         raise SystemExit(f"unknown target {which}")
 
     got = _digest(out)
+    # No committed digest for this size/rate => SKIPPED, not PASS — a PASS
+    # here would overstate device validation evidence for unpinned configs.
     ok = want is None or got == want
+    golden = "SKIPPED" if want is None else ("PASS" if got == want else "FAIL")
     secs = device_time(run)
     rec = {
         "suite": "pm_ab", "target": which, "variant": variant,
-        "log_h": log_h, "rate": rate, "golden": "PASS" if ok else "FAIL",
+        "log_h": log_h, "rate": rate, "golden": golden,
         "digest": got, "time_to_first_result_s": round(compile_s, 2),
         "seconds": round(secs, 6),
         "butterflies_per_s": round(stages * (1 << (log_h - 1)) / secs, 3),
