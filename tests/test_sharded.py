@@ -116,6 +116,32 @@ def test_sharded_ntt128_fused_variants(log_h, log_rate, fused, monkeypatch):
 
 
 @needs_mesh
+def test_sharded_ntt128_production_geometry():
+    """Flagship plan at PRODUCTION tile geometry (default KB/KU/PT, no
+    miniaturisation): log_h 18 over 8 devices gives 1024 local batch rows
+    per shard, so the fused local path runs multiple full-size tiles and
+    crosses an upper-group seam exactly as a 2^28-scale shard would.
+    Complements the KB=2 miniature cases above (reference seam analog:
+    additive_ntt.cuh:222-247). ~75 s on the CPU mesh."""
+    from binius_ntt_tpu.layout.bitslicing import bitslice_transpose
+    from binius_ntt_tpu.ntt.additive_bitsliced import AdditiveNTT128
+    from binius_ntt_tpu.parallel.ntt128_sharded import ShardedAdditiveNTT128
+
+    import jax.numpy as jnp
+
+    log_h = 18
+    mesh = make_mesh()
+    words = mt19937_stream(0xBEEF + log_h, (1 << log_h) * 4)
+    sliced = np.asarray(
+        bitslice_transpose(jnp.asarray(words.reshape(-1, 128))))
+    ref = np.asarray(AdditiveNTT128(
+        log_h, 0, use_pallas=False).apply_sliced(jnp.asarray(sliced)))
+    got = np.asarray(ShardedAdditiveNTT128(
+        log_h, 0, mesh, use_fused=True).apply_sliced(sliced))
+    assert (ref == got).all()
+
+
+@needs_mesh
 def test_sharded_prime_sumcheck_bit_identical():
     """QM31 sharded prover == single-chip prover, full protocol (the
     prime-field analogue of the binary-field parity test; reference
