@@ -110,23 +110,62 @@ def _fold_kernel(evals, challenge, rows):
 
 
 class PrimeFieldSumcheck:
-    """QM31 sumcheck prover for the degree-2 two-column composition."""
+    """QM31 sumcheck prover for the degree-2 two-column composition.
 
-    def __init__(self, evals):
+    Two execution paths, selected per round size:
+
+      * ``use_pallas`` (default on TPU backends): fused planar Pallas
+        round/fold kernels (pallas_prime_round.py) while the live row
+        count fills at least one tile; the buffer then converts back to
+        the AoS layout once and the tail runs on the jnp kernels below
+        — the same large-path / small-tail split as the reference's
+        GPU kernels + shrinking launch ladder
+        (prime_field_sumcheck/test_sumcheck.cu:36-64).
+      * jnp fixed-shape while_loop kernels everywhere else.
+    """
+
+    def __init__(self, evals, use_pallas: bool | None = None):
         """evals: (2, 2^n, 4) uint32 QM31 columns, components canonical."""
+        from . import pallas_prime_round as ppr
+
         evals = jnp.asarray(evals, dtype=jnp.uint32)
         assert evals.ndim == 3 and evals.shape[0] == 2 and evals.shape[2] == 4
-        self._evals = evals
         self._num_rows = evals.shape[1]
         self.round = 0
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self._planar = None
+        if use_pallas and self._num_rows >= 2 * ppr.TB * ppr.LANES:
+            self._planar = ppr.planar_from_aos(evals)
+            self._evals = None
+        else:
+            self._evals = evals
 
     def round_messages(self) -> np.ndarray:
         """Round polynomial at X = 0, 1, 2 as a (3, 4) uint32 array."""
+        if self._planar is not None:
+            from . import pallas_prime_round as ppr
+
+            return np.asarray(
+                ppr.round_kernel(self._planar, jnp.int32(self._num_rows)))
         return np.asarray(
             _round_kernel(self._evals, jnp.int32(self._num_rows)))
 
     def fold(self, challenge) -> None:
         challenge = jnp.asarray(challenge, dtype=jnp.uint32).reshape(4)
+        if self._planar is not None:
+            from . import pallas_prime_round as ppr
+
+            self._planar = ppr.fold_kernel(self._planar, challenge,
+                                           jnp.int32(self._num_rows))
+            self._num_rows //= 2
+            self.round += 1
+            if self._num_rows < 2 * ppr.TB * ppr.LANES:
+                # tail handoff: one layout conversion, then jnp kernels
+                live = self._planar[:, :, :self._num_rows // ppr.LANES]
+                self._evals = ppr.aos_from_planar(live)
+                self._planar = None
+            return
         self._evals = _fold_kernel(self._evals, challenge,
                                    jnp.int32(self._num_rows))
         self._num_rows //= 2

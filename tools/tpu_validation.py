@@ -397,6 +397,53 @@ def run_fieldops():
                "mul_per_s": round(16 * (1 << 24) / t)})
 
 
+def run_qm31_perf(num_vars: int = 24):
+    """Committed steady-state QM31 round benchmark on the fused planar
+    Pallas kernels (sumcheck/pallas_prime_round.py): equality-pins the
+    fused round against the validated jnp kernel at full occupancy, then
+    reports warm round/fold device time — the QM31 analogue of
+    sumcheck_perf (reference counterpart: get_round_coefficients +
+    fold_list_halves, prime_field_sumcheck/core/kernels.cu:5-78)."""
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.fields.m31 import P
+    from binius_ntt_tpu.sumcheck import pallas_prime_round as ppr
+    from binius_ntt_tpu.sumcheck.prime_field import _round_kernel
+    from binius_ntt_tpu.utils.benchlib import device_time
+
+    rng = np.random.default_rng(23 + num_vars)
+    rows = 1 << num_vars
+    evals = jnp.asarray(
+        rng.integers(0, P, size=(2, rows, 4), dtype=np.uint32))
+    planar = ppr.planar_from_aos(evals)
+    ch = jnp.asarray(rng.integers(0, P, size=4, dtype=np.uint32))
+
+    want = np.asarray(_round_kernel(evals, jnp.int32(rows)))
+    got = np.asarray(ppr.round_kernel(planar, jnp.int32(rows)))
+    round_ok = bool(np.array_equal(got, want))
+    t_round = device_time(lambda: ppr.round_kernel(planar, jnp.int32(rows)))
+
+    # fold equality on the live prefix (undonated impl), then timing with
+    # the donating wrapper at constant occupancy
+    folded = np.asarray(ppr.fold_kernel_impl(planar, ch, jnp.int32(rows)))
+    want_f = np.asarray(ppr.fold_emulate(planar, ch, rows))
+    half = rows // ppr.LANES // 2
+    fold_ok = bool(np.array_equal(folded[:, :, :half], want_f[:, :, :half]))
+
+    state = {"buf": planar}
+
+    def fold_step():
+        state["buf"] = ppr.fold_kernel(state["buf"], ch, jnp.int32(rows))
+        return state["buf"]
+
+    t_fold = device_time(fold_step)
+    _emit({"suite": "qm31_perf", "num_vars": num_vars,
+           "round_pass": round_ok, "fold_pass": fold_ok,
+           "round_ms": round(t_round * 1e3, 4),
+           "fold_ms": round(t_fold * 1e3, 4),
+           "round_plus_fold_ms": round((t_round + t_fold) * 1e3, 4)})
+
+
 def run_prime(*num_vars_list):
     """QM31 sumcheck full protocol on device (cf. the reference's 24-var
     run, prime_field_sumcheck/test_sumcheck.cu:9-99)."""
@@ -449,6 +496,8 @@ def main():
         run_sumcheck(*args)
     elif which == "prime":
         run_prime(*args)
+    elif which == "qm31_perf":
+        run_qm31_perf(*args)
     elif which == "bb31_roundtrip":
         run_bb31_roundtrip(*args)
     elif which == "fieldops":
