@@ -29,11 +29,14 @@ def main():
                 continue
             key = (r["suite"],) + tuple(
                 r.get(k) for k in ("log_h", "log_len", "rate", "num_vars",
-                                   "composition"))
+                                   "composition", "op", "target", "variant"))
             rows[key] = r          # latest wins
 
     suites = OrderedDict()
-    for key in sorted(rows, key=lambda k: tuple(-1 if v is None else v
+    for key in sorted(rows, key=lambda k: tuple((-1, "") if v is None
+                                                else ((v, "") if isinstance(
+                                                    v, (int, float))
+                                                      else (0, v))
                                                 for v in k[1:])):
         suites.setdefault(rows[key]["suite"], []).append(rows[key])
 
@@ -77,6 +80,30 @@ def main():
             for r in rs:
                 out.append(f"| {r['num_vars']} | {r['composition']} | "
                            f"{r['round_ms']} | {r['fold_ms']} |")
+        elif suite == "qm31_perf":
+            out.append("| num_vars | round_pass | fold_pass | round_ms "
+                       "| fold_ms |")
+            out.append("|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['num_vars']} | "
+                           f"{'PASS' if r['round_pass'] else '**FAIL**'} | "
+                           f"{'PASS' if r['fold_pass'] else '**FAIL**'} | "
+                           f"{r['round_ms']} | {r['fold_ms']} |")
+        elif suite == "pm_ab":
+            out.append("| target | log_h | rate | variant | golden | "
+                       "seconds | butterflies/s | first_result_s |")
+            out.append("|---|---|---|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['target']} | {r['log_h']} | {r['rate']} | "
+                           f"{r['variant']} | {r['golden']} | "
+                           f"{r['seconds']} | {r['butterflies_per_s']:.3e} | "
+                           f"{r['time_to_first_result_s']} |")
+        elif suite == "fieldops":
+            out.append("| op | seconds | per_s |")
+            out.append("|---|---|---|")
+            for r in rs:
+                per = r.get("mul_per_s", r.get("inv_per_s"))
+                out.append(f"| {r['op']} | {r['seconds']} | {per:.3e} |")
         elif suite == "sumcheck128":
             out.append("| num_vars | composition | pass | protocol_s "
                        "(compile-dominated) |")
