@@ -53,15 +53,13 @@ KB = 9
 KU = 8
 PT = 8
 
-# plane-major row stages (no per-multiply 2-D transposes, see
-# _group_body_pm): used when the batch-lane width is >= PM_MIN_LANES
-# (narrower tiles keep the row-major body — sub-128-lane rolls and
-# layouts are untested on Mosaic and only occur at small sizes).
-# Default OFF until the dynamic-shift pltpu.roll lowering is validated
-# on the device (math is emulation-tested bit-exact either way); flip
-# after a device A/B run.
-PLANE_MAJOR = False
-PM_MIN_LANES = 128
+# A plane-major row-stage variant (lane-axis butterflies via pltpu.roll,
+# no per-multiply 2-D transposes) was built in round 2 and A/B'd on the
+# v5e in round 3: it compiled and passed golden, but measured SLOWER than
+# this row-major body at every config (2^20: 7.66 vs 6.99 ms; 2^24:
+# 140.4 vs 125.0 ms — pm_ab rows in TPU_VALIDATION.jsonl), so it was
+# deleted.  The dynamic-shift rolls and lane select/blend chains cost
+# more than the three 2-D tile transposes they replace.
 
 
 def _bit_masks(constants, offset: int, count: int) -> np.ndarray:
@@ -278,178 +276,6 @@ def _low_stages128(xf, q, mtile, minst, lanes, dpl, *, k: int, log_h: int,
     return jax.lax.fori_loop(0, 5, low_body, xf, unroll=False)
 
 
-def _roll_l(x, s, emulate: bool):
-    """Cyclic roll toward higher lane index by s (int or traced scalar)
-    along the last axis."""
-    if emulate:
-        return jnp.roll(x, s, axis=-1)
-    return pltpu.roll(x, s, axis=x.ndim - 1)
-
-
-def _mul_planes_pm(wa, vb):
-    """Straight-line multiply on plane-major (..., W, n) tiles (Pallas)."""
-    pa = [wa[..., i, :] for i in range(W)]
-    pb = [vb[..., i, :] for i in range(W)]
-    return jnp.stack(_mul_planes(pa, pb, HEIGHT), axis=-2)
-
-
-def _mul_vmem_pm(wa, vb):
-    """Stacked-Karatsuba multiply on plane-major tiles (emulate path)."""
-    wa = jnp.broadcast_to(wa, vb.shape)
-    lead = vb.shape[:-2]
-    n = vb.shape[-1]
-    a = jnp.swapaxes(wa, -1, -2).reshape(-1, W)
-    b = jnp.swapaxes(vb, -1, -2).reshape(-1, W)
-    out = _mul_vmem(a, b)
-    return jnp.swapaxes(out.reshape(*lead, n, W), -1, -2)
-
-
-def _parity_cols(idx, mask_col):
-    """Parity planes, plane-major: idx (n,) or scalar, mask (W, 1) ->
-    (W, n) / (W, 1) planes (0xFFFFFFFF where parity(idx & mask))."""
-    x = (idx[None, :] if getattr(idx, "ndim", 0) == 1 else idx) & mask_col
-    x = x ^ (x >> 16)
-    x = x ^ (x >> 8)
-    x = x ^ (x >> 4)
-    x = x ^ (x >> 2)
-    x = x ^ (x >> 1)
-    return jnp.uint32(0) - (x & jnp.uint32(1))
-
-
-def _group_body_pm(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int,
-                   k: int, pt: int, include_low: bool, zero_flags: tuple = (),
-                   mul=_mul_vmem_sl, mul_pm=_mul_planes_pm,
-                   emulate: bool = False):
-    """Plane-major variant of _group_body: same tile contract
-    ((2^k, pt, 128) -> same), row stages transpose-free.
-
-    The row-major body's multiply (_mul_vmem_sl) transposes both operands
-    and the product around EVERY stage's multiply — the remaining ~15% of
-    ALU speed-of-light at 2^24 (PERF.md).  Here each p-slab of the tile is
-    transposed ONCE to the plane-major (W, kk) view (batch index on
-    lanes), and every row-pairing stage is a lane-axis butterfly:
-    pltpu.roll (dynamic shift) aligns the v half onto the u lanes and
-    slab PAIRS pack their v values into one half-tile multiply, so the
-    fori_loop still carries ONE multiply instantiation (the
-    compile-time property the constant-geometry form bought) with the
-    same multiply count.  Pairing:
-
-      * upper groups (pt even): slabs = the pt post-columns, which share
-        q and twiddles — pairs (2i, 2i+1);
-      * bottom group (pt == 1): the tile's top-bit halves become two
-        slabs after stage 0 runs as a major-axis butterfly between them;
-        the odd slab's twiddle block index carries the top bit
-        (blk | 1 << (st-1)).
-
-    Low stages (include_low) run in the shared row-major in-word section
-    (_low_stages128) after one transpose back — they were already
-    transpose-free and composite-packed.
-    """
-    kk = 1 << k
-    half = kk // 2
-
-    n_zero = 0
-    while n_zero < len(zero_flags) and zero_flags[n_zero]:
-        n_zero += 1
-    assert not any(zero_flags[n_zero:])
-    assert n_zero <= k
-
-    bottom = pt == 1
-    if bottom:
-        lanes_n = half
-        # stage 0: major-axis butterfly between the tile halves
-        x3 = xt.reshape(2, half, W)
-        u, v = x3[0], x3[1]
-        if n_zero:
-            u2 = u
-        else:
-            jt = jax.lax.broadcasted_iota(jnp.uint32, (half, 1), 0)
-            w = (_parity_planes(jt, _row(mtile, 0))
-                 ^ _parity_planes(q, _row(minst, 0)))
-            if dpl is not None:
-                w = w ^ _row(dpl, 0)
-            u2 = u ^ mul(w, v)
-        xe = jnp.stack([u2.T])            # (1, W, half)
-        xo = jnp.stack([(u2 ^ v).T])
-        first_st = max(n_zero, 1)
-        # leading zero stages beyond stage 0 (multi-stage zero runs do
-        # not occur in practice — zero_flags marks only the global top
-        # stage — but keep the static fallback correct)
-        for zst in range(1, n_zero):
-            span = 1 << (k - 1 - zst)
-            li = jax.lax.broadcasted_iota(jnp.uint32, (lanes_n,), 0)
-            upos = ((li & jnp.uint32(span)) == 0)[None, None, :]
-            xe = jnp.where(upos, xe, xe ^ _roll_l(xe, span, emulate))
-            xo = jnp.where(upos, xo, xo ^ _roll_l(xo, span, emulate))
-    else:
-        assert pt % 2 == 0
-        lanes_n = kk
-        # one 2-D transpose per p-slab (static loop, pt small)
-        slabs = [xt[:, p, :].T for p in range(pt)]     # each (W, kk)
-        xe = jnp.stack(slabs[0::2])                    # (pt/2, W, kk)
-        xo = jnp.stack(slabs[1::2])
-        first_st = n_zero
-        for zst in range(n_zero):
-            span = 1 << (k - 1 - zst)
-            li = jax.lax.broadcasted_iota(jnp.uint32, (lanes_n,), 0)
-            upos = ((li & jnp.uint32(span)) == 0)[None, None, :]
-            xe = jnp.where(upos, xe, xe ^ _roll_l(xe, span, emulate))
-            xo = jnp.where(upos, xo, xo ^ _roll_l(xo, span, emulate))
-
-    li = jax.lax.broadcasted_iota(jnp.uint32, (lanes_n,), 0)
-
-    def row_body(st, carry):
-        xe, xo = carry
-        stu = st.astype(jnp.uint32) if hasattr(st, "astype") else jnp.uint32(st)
-        rbit = jnp.uint32(k - 1) - stu
-        span = jnp.uint32(1) << rbit
-        upos_row = ((li & span) == 0)[None, :]          # (1, lanes_n)
-        upos = upos_row[None]                           # (1, 1, lanes_n)
-        blk = li >> (rbit + jnp.uint32(1))
-        mcol = _row(mtile, st).T                        # (W, 1)
-        wq = _parity_cols(q, _row(minst, st).T)         # (W, 1)
-        if dpl is not None:
-            wq = wq ^ _row(dpl, st).T
-        we = _parity_cols(blk, mcol) ^ wq               # (W, lanes_n)
-        if bottom:
-            # odd slab = top tile-bit set: block bit st-1
-            wo = _parity_cols(blk | (jnp.uint32(1) << (stu - 1)), mcol) ^ wq
-            wcmp = jnp.where(upos_row, we, wo)[None]
-        else:
-            wcmp = we[None]
-        dn = jnp.uint32(lanes_n) - span
-        comp = jnp.where(upos, _roll_l(xe, dn, emulate), xo)
-        prod = mul_pm(wcmp, comp)
-        z = jnp.uint32(0)
-        pe = jnp.where(upos, prod, z)
-        po = prod ^ pe
-        a = xe ^ pe
-        ye = jnp.where(upos, a, a ^ _roll_l(a, span, emulate))
-        b = xo ^ _roll_l(po, dn, emulate)
-        yo = jnp.where(upos, b, b ^ _roll_l(b, span, emulate))
-        return ye, yo
-
-    if k - first_st > 0:
-        xe, xo = jax.lax.fori_loop(first_st, k, row_body, (xe, xo),
-                                   unroll=False)
-
-    if bottom:
-        # halves back to row-major: rows [0, half) from xe, rest from xo
-        xt = jnp.concatenate([xe[0].T, xo[0].T]).reshape(kk, pt, W)
-    else:
-        cols = []
-        for p in range(pt):
-            src = xe if p % 2 == 0 else xo
-            cols.append(src[p // 2].T)                 # (kk, W)
-        xt = jnp.stack(cols, axis=1)                   # (kk, pt, W)
-
-    if include_low:
-        assert pt == 1
-        xt = _low_stages128(xt.reshape(kk, W), q, mtile, minst, lanes, dpl,
-                            k=k, log_h=log_h, mul=mul).reshape(kk, pt, W)
-    return xt
-
-
 def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
                 include_low: bool, cosets: int, zero_flags: tuple = (),
                 log_nb: int | None = None, dplanes=None,
@@ -474,10 +300,7 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
     kk = 1 << k
 
     x5 = x.reshape(n_inst, kk, post, W)
-    pm = PLANE_MAJOR and (kk // 2 if pt == 1 else kk) >= PM_MIN_LANES and (
-        pt == 1 or pt % 2 == 0) and k >= 1
-    body_fn = _group_body_pm if pm else _group_body
-    body = functools.partial(body_fn, log_h=log_h, k=k, pt=pt,
+    body = functools.partial(_group_body, log_h=log_h, k=k, pt=pt,
                              include_low=include_low, zero_flags=zero_flags)
 
     if emulate:
@@ -486,8 +309,6 @@ def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
         # stacked multiply: identical field math, ~100 ops instead of the
         # 15k-op straight-line body — jitted CPU tests compile in seconds
         emu_kw = dict(mul=_mul_vmem)
-        if pm:
-            emu_kw.update(mul_pm=_mul_vmem_pm, emulate=True)
         fn = jax.vmap(jax.vmap(
             lambda t, q: body(t, q, mtile, minst, lanes, dplanes, **emu_kw),
             in_axes=(0, None)), in_axes=(0, 0))

@@ -18,18 +18,25 @@ Packed bit-sliced layout (PACK = 4 blocks per 128-lane row):
   * row r of the packed (nb/4, 128) array holds blocks 4r..4r+3 at lane
     groups [32c, 32c+32) — a plain reshape of the (nb, 32) sliced form.
 
-Stage decomposition (DIT, stages log_h-1 .. 0, additive_ntt.cuh:138-154).
-Every tile is transposed ONCE on entry to the plane-major (4, 32, lanes)
-view (lanes = packed-row index) and once back on exit; all stages run
-plane-major — no per-multiply transposes (see _group_body32):
+Stage decomposition (DIT, stages log_h-1 .. 0, additive_ntt.cuh:138-154),
+see _group_body32:
 
-  * stages s >= 7 pair rows (bit s-7 of r) — lane-axis butterflies at
-    span pt*2^rbit via pltpu.roll + lane-parity selects, c-slab pairs
-    packing their v halves into one half-tile multiply;
+  * stages s >= 7 pair rows (bit s-7 of r) — sublane-axis butterflies on
+    the row-major tile, multiplies through _mul32 (transpose to
+    plane-major and back around each multiply);
   * stages 6 and 5 pair lane groups (bits of c) — major-axis butterflies
-    on the slab axis (no lane shuffles);
+    on the plane-major slab view (one tile transpose for the whole low
+    section, _cj_stages32);
   * stages s < 5 pair bits inside each word — the masked word-shift
     butterfly of ntt/additive_bitsliced.py.
+
+A fully plane-major variant (row stages as lane-axis butterflies via
+pltpu.roll, no per-multiply transposes) was built in round 2 and A/B'd on
+the v5e in round 3: it compiled and passed golden but measured 1.5-1.6x
+SLOWER than this form (2^24: 21.7 vs 13.7 ms; 2^20: 1.47 vs 0.97 ms —
+pm_ab rows in TPU_VALIDATION.jsonl), so it was deleted: long-lane rolls
+plus the select/blend chains cost more than the batched 2-D transposes
+inside _mul32, which Mosaic handles well at (rows, 128) tile shapes.
 
 Twiddles are GF(2)-linear in the indicator bits (calculate_twiddle,
 additive_ntt.cuh:59-77), so each stage needs only a (32,) parity-mask
@@ -60,12 +67,6 @@ KB = 11
 KU = 8
 PT = 8
 
-# plane-major row stages (_group_body32: no per-multiply transposes) vs
-# the row-major fallback (_group_body32_rm).  Default OFF until the
-# long-lane-axis pltpu.roll lowering is validated on the device; the
-# math of both bodies is emulation-tested bit-exact.
-PLANE_MAJOR32 = False
-
 _LANE_MASKS = (0x55555555, 0x33333333, 0x0F0F0F0F, 0x00FF00FF, 0x0000FFFF)
 
 
@@ -78,15 +79,6 @@ def _bit_masks32(constants, offset: int, count: int) -> np.ndarray:
             if (c >> i) & 1:
                 out[i] |= np.uint32(1 << m)
     return out
-
-
-def _roll_l(x, s: int, emulate: bool):
-    """Cyclic roll toward higher lane index by s along the last axis."""
-    if s == 0 or s == x.shape[-1]:
-        return x
-    if emulate:
-        return jnp.roll(x, s, axis=-1)
-    return pltpu.roll(x, s, axis=x.ndim - 1)
 
 
 def _mul32_pm(wa, vb):
@@ -251,74 +243,6 @@ def make_group_tables32(rows, log_h: int, log_rate: int, t0: int, k: int,
                 cpl=cpl, lpl=lpl, zero=tuple(zero))
 
 
-def _group_body32(xt, q, tabs, *, k: int, pt: int, include_low: bool,
-                  zero: tuple, emulate: bool = False):
-    """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32.
-
-    Pure jnp apart from pltpu.roll — called from the Pallas kernel and
-    (vmapped, emulate=True) from the CPU emulation used by the tests.
-
-    Plane-major throughout: the tile is transposed ONCE on entry to four
-    (32, N) plane slabs (N = 2^k * pt lanes = packed-row index), every
-    row-pairing stage is a lane-axis butterfly at span pt*2^rbit —
-    pltpu.roll aligns the v half onto the u lanes, two c-slab pairs pack
-    their v values into one half-tile multiply — and the tile is
-    transposed back on exit.  This removes the 3 per-stage 2-D transposes
-    the previous row-major form paid around every multiply (the
-    ~30%-of-SoL gap documented in PERF.md).
-    """
-    kk = 1 << k
-    n = kk * pt
-    lpt = pt.bit_length() - 1
-
-    xT = xt.reshape(n, 128).T.reshape(PACK, W32, n)     # [c, p, lane]
-    slabs = [xT[0], xT[1], xT[2], xT[3]]
-    li = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)  # lane index
-
-    st = 0
-    for rbit in range(k - 1, -1, -1):
-        span = pt << rbit
-        upos = ((li & jnp.uint32(span)) == 0)[None, :]  # (1, n) bool
-        if zero[st]:
-            slabs = [jnp.where(upos, s, s ^ _roll_l(s, span, emulate))
-                     for s in slabs]
-        else:
-            # twiddle depends only on lane bits above the pair bit (+ q)
-            w = (_parity_pm(li >> (lpt + rbit + 1), tabs["mtile"][st])
-                 ^ _parity_scalar_pm(q, tabs["minst"][st]))     # (32, n)
-            # composite: slab 2i's v values rolled onto its u lanes, slab
-            # 2i+1's v values in place -> products for BOTH slabs of the
-            # pair in one (2, 32, n) multiply
-            comp = jnp.stack([
-                jnp.where(upos, _roll_l(slabs[0], n - span, emulate),
-                          slabs[1]),
-                jnp.where(upos, _roll_l(slabs[2], n - span, emulate),
-                          slabs[3]),
-            ])
-            prod = _mul32_pm(w[None], comp)
-            z = jnp.zeros((), jnp.uint32)
-            out = []
-            for i in range(2):
-                # even slab: its products sit on the u lanes already
-                a = slabs[2 * i] ^ jnp.where(upos, prod[i], z)
-                out.append(jnp.where(upos, a,
-                                     a ^ _roll_l(a, span, emulate)))
-                # odd slab: products on the v lanes, roll down to u
-                pv = jnp.where(upos, z, prod[i])
-                b = slabs[2 * i + 1] ^ _roll_l(pv, n - span, emulate)
-                out.append(jnp.where(upos, b,
-                                     b ^ _roll_l(b, span, emulate)))
-            slabs = out
-        st += 1
-
-    xT = jnp.stack(slabs)
-
-    if not include_low:
-        return xT.reshape(128, n).T.reshape(kk, pt, 128)
-
-    assert pt == 1
-    return _cj_stages32(xT, q, tabs, kk=kk, st=st)
-
 
 def _cj_stages32(xT, q, tabs, *, kk: int, st: int):
     """The c-bit (stages 6, 5) and in-word (4..0) section on the
@@ -385,13 +309,15 @@ def _cj_stages32(xT, q, tabs, *, kk: int, st: int):
     return xT.reshape(128, kk).T.reshape(kk, 1, 128)
 
 
-def _group_body32_rm(xt, q, tabs, *, k: int, pt: int, include_low: bool,
-                     zero: tuple, emulate: bool = False):
-    """Row-major fallback body (the pre-plane-major form): row-pairing
-    stages butterfly on the sublane axis and pay 3 2-D transposes around
-    every multiply (_mul32).  Kept as the device-proven path until the
-    plane-major body's pltpu.roll lowering is validated on hardware
-    (PLANE_MAJOR32)."""
+def _group_body32(xt, q, tabs, *, k: int, pt: int, include_low: bool,
+                  zero: tuple, emulate: bool = False):
+    """Stage-group math on one VMEM tile: xt (2^k, pt, 128), q uint32.
+
+    Pure jnp — called from the Pallas kernel and (vmapped) from the CPU
+    emulation used by the tests.  Row-pairing stages butterfly on the
+    sublane axis with multiplies through _mul32 (plane-major transposes
+    batched inside the multiply); this won the round-3 device A/B against
+    the fully plane-major roll-based variant (see module docstring)."""
     kk = 1 << k
     jt = jax.lax.broadcasted_iota(jnp.uint32, (kk,), 0)
 
@@ -451,8 +377,7 @@ def stage_group32(x, tabs, *, t0: int, k: int, include_low: bool,
     kk = 1 << k
 
     x5 = x.reshape(n_inst, kk, post, 128)
-    body_fn = _group_body32 if PLANE_MAJOR32 else _group_body32_rm
-    body = functools.partial(body_fn, k=k, pt=pt,
+    body = functools.partial(_group_body32, k=k, pt=pt,
                              include_low=include_low, zero=tabs["zero"],
                              emulate=emulate)
     tab_arrays = [tabs["mtile"], tabs["minst"]]

@@ -45,34 +45,6 @@ def test_fused_matches_per_stage(log_h, log_rate, kb, ku, pt, monkeypatch):
     assert np.array_equal(got, want)
 
 
-@pytest.mark.parametrize(
-    "log_h,log_rate,kb,ku,pt",
-    [
-        (8, 0, 10, 9, 8),   # bottom-only; zero top stage -> pm skips stage 0
-        (9, 1, 2, 2, 2),    # bottom stage-0 major butterfly + pt-slab-paired
-                            # upper groups + cosets
-        (10, 0, 3, 3, 2),   # zero top stage inside an UPPER pm group
-                            # (static-span roll pre-loop)
-    ],
-)
-def test_fused_matches_per_stage_plane_major(log_h, log_rate, kb, ku, pt,
-                                             monkeypatch):
-    """Same contract as above but forcing the plane-major row-stage body
-    (_group_body_pm) at small sizes (PM_MIN_LANES gates it to >=128-lane
-    tiles in production)."""
-    monkeypatch.setattr(pf, "KB", kb)
-    monkeypatch.setattr(pf, "KU", ku)
-    monkeypatch.setattr(pf, "PT", pt)
-    monkeypatch.setattr(pf, "PM_MIN_LANES", 1)
-    ntt = AdditiveNTT128(log_h, log_rate, use_pallas=False, use_fused=False)
-    words = mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4)
-    sliced = np.asarray(
-        bitslice_transpose(jnp.asarray(words.reshape(-1, 128))))
-    want = np.asarray(ntt.apply_sliced(jnp.asarray(sliced)))
-    got = _run_fused(log_h, log_rate, sliced)
-    assert np.array_equal(got, want)
-
-
 def test_group_plan_covers_all_bits():
     for log_nb in range(0, 26):
         groups = pf.plan_groups(log_nb)

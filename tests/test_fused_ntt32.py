@@ -30,7 +30,6 @@ def _run_fused(log_h, log_rate, x):
         np.asarray(out).reshape(cosets * n // 32, 32)).reshape(-1)
 
 
-@pytest.mark.parametrize("pm", [False, True])
 @pytest.mark.parametrize(
     "log_h,log_rate,kb,ku,pt",
     [
@@ -41,12 +40,11 @@ def _run_fused(log_h, log_rate, x):
         (13, 2, 2, 2, 2),    # bottom + two upper groups (multi-group seams)
     ],
 )
-def test_fused32_matches_per_stage(log_h, log_rate, kb, ku, pt, pm,
+def test_fused32_matches_per_stage(log_h, log_rate, kb, ku, pt,
                                    monkeypatch):
     monkeypatch.setattr(pf32, "KB", kb)
     monkeypatch.setattr(pf32, "KU", ku)
     monkeypatch.setattr(pf32, "PT", pt)
-    monkeypatch.setattr(pf32, "PLANE_MAJOR32", pm)
     x = mt19937_stream(0xDEADBEEF + log_h + log_rate, 1 << log_h)
     want = np.asarray(
         AdditiveNTT(log_h, log_rate, use_fused=False).apply(x))

@@ -85,8 +85,6 @@ def test_sharded_ntt128_bit_identical(log_h, log_rate):
     (9, 0, False),       # per-stage local path (fused off)
     (13, 0, True),       # fused local path with an upper-group seam
     (14, 2, True),       # + cosets through the split instance index
-    (13, 0, "pm"),       # plane-major row stages + dplanes correction
-    (14, 2, "pm"),
 ])
 def test_sharded_ntt128_fused_variants(log_h, log_rate, fused, monkeypatch):
     """The fused shard-local path (device-index twiddle correction planes,
@@ -103,7 +101,6 @@ def test_sharded_ntt128_fused_variants(log_h, log_rate, fused, monkeypatch):
         monkeypatch.setattr(pf, "KB", 2)
         monkeypatch.setattr(pf, "KU", 2)
         monkeypatch.setattr(pf, "PT", 2)
-        monkeypatch.setattr(pf, "PM_MIN_LANES", 1 if fused == "pm" else 10**9)
     mesh = make_mesh()
     words = mt19937_stream(0xBEEF + log_h, (1 << log_h) * 4)
     sliced = np.asarray(

@@ -1,18 +1,17 @@
-"""A/B the plane-major vs row-major fused-NTT bodies on the device.
+"""Golden-checked steady-state device timing of the fused NTT kernels.
 
-One variant per invocation (so the persistent compile cache can't blur
-compile-time comparisons across variants):
-
-    python tools/device_pm_ab.py ntt128 20 pm      # PLANE_MAJOR=True
-    python tools/device_pm_ab.py ntt128 20 rm
-    python tools/device_pm_ab.py ntt32  24 pm      # PLANE_MAJOR32=True
-    python tools/device_pm_ab.py ntt32  24 rm
+    python tools/device_pm_ab.py ntt128 20
+    python tools/device_pm_ab.py ntt32  24 [rm] [rate]
 
 Checks the oracle golden digest for the size (bit-exactness through the
-whole Mosaic lowering, including the dynamic-shift pltpu.roll path the
-plane-major bodies rely on), then reports compile wall time and warm
-steady-state per-transform time.  Appends a JSON line to
-TPU_VALIDATION.jsonl (suite pm_ab).
+whole Mosaic lowering), then reports time-to-first-result and warm
+steady-state per-transform time on a device-resident input.  Appends a
+JSON line to TPU_VALIDATION.jsonl (suite pm_ab).
+
+History: this tool ran the round-3 plane-major vs row-major A/B whose
+rows are committed in TPU_VALIDATION.jsonl.  Row-major won every config
+(ntt32 2^24: 13.7 vs 21.7 ms; ntt128 2^24: 125.0 vs 140.4 ms) and the
+plane-major bodies were deleted — only the 'rm' variant remains.
 """
 
 import hashlib
@@ -34,19 +33,19 @@ def _digest(arr) -> str:
 
 
 def main():
-    which, log_h, variant = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    which, log_h = sys.argv[1], int(sys.argv[2])
+    variant = sys.argv[3] if len(sys.argv) > 3 else "rm"
     rate = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    if variant != "rm":
+        raise SystemExit(
+            "plane-major bodies were deleted after losing the round-3 "
+            "device A/B (see pm_ab rows in TPU_VALIDATION.jsonl)")
     from binius_ntt_tpu.utils.benchlib import device_time, setup_compile_cache
 
     setup_compile_cache()
     from golden_hashes_oracle import ADDITIVE_NTT128_HASHES
     from golden_hashes import ADDITIVE_NTT_HASHES
-    from binius_ntt_tpu.ntt import pallas_fused as pf
-    from binius_ntt_tpu.ntt import pallas_fused32 as pf32
     from binius_ntt_tpu.utils.mt19937 import mt19937_stream
-
-    pf.PLANE_MAJOR = variant == "pm"
-    pf32.PLANE_MAJOR32 = variant == "pm"
 
     import jax
     import jax.numpy as jnp
