@@ -250,7 +250,13 @@ def run_sumcheck_perf(num_vars: int = 24, comp: int = 2):
     from binius_ntt_tpu.utils.mt19937 import mt19937_stream
 
     evals = mt19937_stream(7, INTS_PER_VALUE * (1 << num_vars) * comp)
-    s = Sumcheck(evals, comp, num_vars)
+    # DATA_IS_TRANSPOSED input at capacity sizes: the ctor's on-device
+    # bitslice transpose holds in+out buffers (2 x 8.6 GB at 2^28 C=2,
+    # OOM on the 16 GB chip); steady-state round/fold timing is
+    # layout-origin-independent
+    transpose_peak = 2 * comp * (1 << num_vars) * 16
+    s = Sumcheck(evals, comp, num_vars,
+                 data_is_transposed=transpose_peak > 12 * 10**9)
     rows = (1 << num_vars) // 32
     challenge = jnp.asarray(mt19937_stream(11, INTS_PER_VALUE))
 
