@@ -14,15 +14,19 @@ Instead they are *streamed*: because the twiddle table is stored in
 bit-reversed order (gpuntt.cuh:139-143), the stage-s vector is its first
 n/2^(s+1) entries and every tile's share is a contiguous slice — each
 stage's twiddles arrive through their own BlockSpec with a plain
-(instance, 0) index map.  Total twiddle traffic for the bottom group is
-~= one extra read of the tile (sum_s R/2^(s+1)), negligible above.
+(instance, 0) index map.  Lane-stage twiddles are host-expanded to full
+(r, j) planes (one tile-read of HBM per lane stage, ~7 extra tile reads
+for the bottom group) so the kernel never reshapes across lanes; row
+stages stream the compact slices (~1 extra tile read total).
 
 Layout: element e = 128*r + j sits at row r, lane j of the (n/128, 128)
 array (after the input bit-reversal gather, gpuntt.cuh:163-168).  DIF
 stages ascend:
 
-  * stages 0..6 pair lanes (bit s of j) — run on the transposed
-    (128, R) tile view where they are major-axis butterflies;
+  * stages 0..6 pair lanes (bit s of j) — static pltpu.roll brings the
+    partner onto its mate's lane, a lane-parity select routes adds to u
+    lanes and (u-v)*w products to v lanes, all in the natural (rows,
+    128) layout (mont_mul is elementwise, so nothing needs transposing);
   * stages >= 7 pair rows (bit s-7 of r) — bottom group covers the low
     row bits on consecutive-row tiles, upper groups stride (the same
     (pre, 2^k, post) reshape as the additive fused kernels).
@@ -93,11 +97,16 @@ def build_tables_r2(tw_mont: np.ndarray, log_n: int):
             for s in range(N_LANE):
                 nb = n >> (s + 1)
                 m_hi = 1 << (6 - s)
-                # pre-transposed (m_hi, R) per instance: the in-kernel view
-                # is a plain slice (Mosaic rejects lane-splitting reshapes)
+                # full (r, j) twiddle planes: w[inst, r, j] =
+                # tw[(inst*r_tile + r) * m_hi + (j >> (s+1))].  Expanding
+                # on host costs one extra tile-read of HBM per stage but
+                # lets the kernel butterfly lanes in the NATURAL (rows,
+                # 128) layout with static rolls — the transposed
+                # strided-sublane form this replaced measured ~12x slower
+                # per stage than a row butterfly (bb31_profile rows).
+                base = tw[:nb].reshape(n_inst, r_tile, m_hi)
                 lane_list.append(jnp.asarray(
-                    tw[:nb].reshape(n_inst, r_tile, m_hi
-                                    ).transpose(0, 2, 1)))
+                    np.repeat(base, 1 << (s + 1), axis=2)))
             lane_tws = tuple(lane_list)
         row_list = []
         skip = []
@@ -117,45 +126,87 @@ def build_tables_r2(tw_mont: np.ndarray, log_n: int):
 
 
 def _r2_body(xt, lane_tws, row_tws, *, k: int, pt: int, include_lanes: bool,
-             skip: tuple, encode_in: bool, decode_out: bool):
+             skip: tuple, encode_in: bool, decode_out: bool,
+             emulate: bool = False):
     """Stage-group math on one VMEM tile: xt (2^k, pt, 128).
 
-    lane_tws[s]: (R * 2^(6-s),) streamed twiddles for lane stage s;
-    row_tws[rb]: (2^(k-rb-1),) (>= length 1) for row stage rb.
-    Pure jnp — called from the Pallas kernel and the CPU emulation.
+    lane_tws[s]: (2^k, 128) expanded twiddle planes for lane stage s;
+    row_tws[rb]: (2^(k-rb-1), 128) (>= length 1) for row stage rb.
+    Pure jnp apart from pltpu.roll (jnp.roll under ``emulate``) — called
+    from the Pallas kernel and the CPU emulation.
     """
     kk = 1 << k
     if encode_in:
         xt = bb.mont_mul(xt, jnp.uint32(bb.R2))
 
+    def _roll(x, sh, axis=1):
+        if emulate:
+            return jnp.roll(x, sh, axis=axis)
+        return pltpu.roll(x, sh, axis=axis)
+
     if include_lanes:
         assert pt == 1
-        xT = xt.reshape(kk, 128).T               # (128, R): (j, r)
-        for s in range(N_LANE):
-            m_hi = 1 << (6 - s)
-            span = 1 << s
-            v4 = xT.reshape(m_hi, 2, span, kk)
-            u, v = v4[:, 0], v4[:, 1]
-            # w[jb, r] = tw_s[r * m_hi + jb], delivered pre-transposed
-            w = lane_tws[s][:, None, :]              # (m_hi, 1, R)
-            big_u = bb.add(u, v)
-            big_v = bb.mont_mul(bb.sub(u, v), w)
-            xT = jnp.stack([big_u, big_v], axis=1).reshape(128, kk)
-        xt = xT.T.reshape(kk, pt, 128)
+        # lane butterflies in the NATURAL (rows, 128) layout: the partner
+        # at lane distance 2^s arrives by a static cyclic roll, and the
+        # lane-parity select keeps u lanes on the add and v lanes on the
+        # multiply.  mont_mul is elementwise (prime field, not
+        # bit-sliced), so no transpose is ever needed; the multiply runs
+        # over the full tile but its u-lane results are discarded —
+        # cheaper than the strided-sublane halves of the transposed form
+        # it replaced (bb31_profile: 18.7 ms -> see PERF.md).
+        xf = xt.reshape(kk, 128)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
 
-    for rb in range(k):
-        q = kk >> (rb + 1)
-        span = (1 << rb) * pt
-        v4 = xt.reshape(q, 2, span, 128)
-        u, v = v4[:, 0], v4[:, 1]
-        big_u = bb.add(u, v)
-        d = bb.sub(u, v)
-        if skip[rb]:
-            big_v = d                            # tw[0] = enc(1)
-        else:
-            w = row_tws[rb][:q][:, None, :]      # (q, 1, 128) pre-broadcast
-            big_v = bb.mont_mul(d, w)
-        xt = jnp.stack([big_u, big_v], axis=1).reshape(kk, pt, 128)
+        for s in range(N_LANE):
+            span = 1 << s
+            is_u = (lane & jnp.uint32(span)) == 0
+            p = _roll(xf, span)            # x[j - span] at lane j
+            q = _roll(xf, 128 - span)      # x[j + span] at lane j
+            big_v = bb.mont_mul(bb.sub(p, xf), lane_tws[s])
+            xf = jnp.where(is_u, bb.add(xf, q), big_v)
+        xt = xf.reshape(kk, pt, 128)
+
+    if pt == 1:
+        # Bottom-group row stages on the clean 2-D (kk, 128) view, same
+        # roll+select scheme as the lane stages above.  The (kk, 1, 128)
+        # pt=1 tile shape the previous form used pads every vreg 8x in
+        # Mosaic: the identical 6 stages measured 1.07 ms tiled (.., 8,
+        # 128) vs ~8 ms at pt=1 (bb31_profile experiments) — so never
+        # give the compiler a unit minor-2 axis.  Compact twiddle tables
+        # expand in VMEM by a sublane broadcast-reshape (w_plane[r] =
+        # base[r >> (rb+1)]).
+        xf = xt.reshape(kk, 128)
+        riota = jax.lax.broadcasted_iota(jnp.uint32, (kk, 1), 0)
+        for rb in range(k):
+            span = 1 << rb
+            is_u = (riota & jnp.uint32(span)) == 0
+            p = _roll(xf, span, 0)             # x[r - span] at row r
+            qv = _roll(xf, kk - span, 0)       # x[r + span] at row r
+            d = bb.sub(p, xf)
+            if skip[rb]:
+                big_v = d                      # tw[0] = enc(1)
+            else:
+                q2 = kk >> (rb + 1)
+                w = jnp.broadcast_to(
+                    row_tws[rb][:q2][:, None, :],
+                    (q2, kk // q2, 128)).reshape(kk, 128)
+                big_v = bb.mont_mul(d, w)
+            xf = jnp.where(is_u, bb.add(xf, qv), big_v)
+        xt = xf.reshape(kk, pt, 128)
+    else:
+        for rb in range(k):
+            q = kk >> (rb + 1)
+            span = (1 << rb) * pt
+            v4 = xt.reshape(q, 2, span, 128)
+            u, v = v4[:, 0], v4[:, 1]
+            big_u = bb.add(u, v)
+            d = bb.sub(u, v)
+            if skip[rb]:
+                big_v = d                        # tw[0] = enc(1)
+            else:
+                w = row_tws[rb][:q][:, None, :]  # (q, 1, 128) pre-broadcast
+                big_v = bb.mont_mul(d, w)
+            xt = jnp.stack([big_u, big_v], axis=1).reshape(kk, pt, 128)
 
     if decode_out:
         xt = bb.mont_mul(xt, jnp.uint32(1))
@@ -176,7 +227,8 @@ def stage_group_r2(x, lane_tws, row_tws, *, t0: int, k: int,
     x5 = x.reshape(pre, kk, post, 128)
     body = functools.partial(_r2_body, k=k, pt=pt,
                              include_lanes=include_lanes, skip=skip,
-                             encode_in=encode_in, decode_out=decode_out)
+                             encode_in=encode_in, decode_out=decode_out,
+                             emulate=emulate)
     tab_arrays = list(lane_tws) + list(row_tws)
     n_lane = len(lane_tws)
 
