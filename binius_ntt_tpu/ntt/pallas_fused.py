@@ -53,6 +53,19 @@ KB = 9
 KU = 8
 PT = 8
 
+# Stage-loop unroll switches (Mosaic supports only rolled or FULLY
+# unrolled loops).  Rolled bodies carry ONE multiply instantiation;
+# full unroll instantiates one multiply per stage, trading compile time
+# for Mosaic's cross-stage scheduling.  Round-3 device A/B at 2^24:
+# base (both rolled) 125.0 ms / 34 s compile; LOW unrolled 116.3 ms /
+# 53 s; HI unrolled 124.9 ms / 147 s (no runtime gain); both 116.9 ms.
+# => unroll the 5-step low loop only.  (Round-1's fully per-stage
+# unrolled bodies ran 104 ms but cost ~1000 s of compile; the remaining
+# ~12 ms lives in the rolled hi-loop's scheduling, which full unroll of
+# the CURRENT body does not recover.)
+UNROLL_HI = False     # row-stage loop (k - n_zero steps per group)
+UNROLL_LOW = True     # lane/low-stage loop (5 steps, bottom group only)
+
 # A plane-major row-stage variant (lane-axis butterflies via pltpu.roll,
 # no per-multiply 2-D transposes) was built in round 2 and A/B'd on the
 # v5e in round 3: it compiled and passed golden, but measured SLOWER than
@@ -211,7 +224,8 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
         return _interleave(u2, u2 ^ v)
 
     if k - n_zero > 0:
-        xt = jax.lax.fori_loop(n_zero, k, hi_body, xt, unroll=False)
+        xt = jax.lax.fori_loop(n_zero, k, hi_body, xt,
+                               unroll=(k - n_zero) if UNROLL_HI else 1)
 
     if include_low:
         assert pt == 1
@@ -273,7 +287,8 @@ def _low_stages128(xf, q, mtile, minst, lanes, dpl, *, k: int, log_h: int,
         y = jnp.stack([y0, y1], axis=1).reshape(kk, W)
         return _outshuffle(y)
 
-    return jax.lax.fori_loop(0, 5, low_body, xf, unroll=False)
+    return jax.lax.fori_loop(0, 5, low_body, xf,
+                             unroll=5 if UNROLL_LOW else 1)
 
 
 def stage_group(x, mtile, minst, lanes, *, log_h: int, t0: int, k: int,
