@@ -263,21 +263,33 @@ def run_sumcheck_perf(num_vars: int = 24, comp: int = 2):
     buf0 = s._device_evals
     t_round = device_time(
         lambda: pr.round_kernel(buf0, jnp.int32(rows), num_points=comp + 1))
-    # non-shrinking fold at full occupancy (protocol steady state); rebind
-    # the donated buffer each call so the in-place cost is the real one
+    # Fold timing at the protocol's steady-state shape.  The
+    # full-occupancy non-shrinking fold needs in + out = 2 full buffers;
+    # at capacity sizes (2^28 C=2: 2 x 8 GB) that exceeds HBM — the real
+    # protocol's FIRST fold shrinks into a fresh half buffer (12 GB
+    # peak) and every later round folds the half-size buffer.  So when 2
+    # full buffers don't fit, do the one-time shrinking fold and time
+    # the steady state at the post-shrink shape (rounds 2+).
+    fold_rows = rows
+    if 2 * comp * (1 << num_vars) * 16 > 14 * 10**9:
+        buf0 = pr.fold_kernel(buf0, challenge, jnp.int32(rows), shrink=True)
+        fold_rows = rows // 2
     state = {"buf": buf0}
 
     def fold_step():
         state["buf"] = pr.fold_kernel(state["buf"], challenge,
-                                      jnp.int32(rows))
+                                      jnp.int32(fold_rows))
         return state["buf"]
 
     t_fold = device_time(fold_step)
-    _emit({"suite": "sumcheck128_perf", "num_vars": num_vars,
+    rec = {"suite": "sumcheck128_perf", "num_vars": num_vars,
            "composition": comp,
            "round_ms": round(t_round * 1e3, 4),
            "fold_ms": round(t_fold * 1e3, 4),
-           "round_plus_fold_ms": round((t_round + t_fold) * 1e3, 4)})
+           "round_plus_fold_ms": round((t_round + t_fold) * 1e3, 4)}
+    if fold_rows != rows:
+        rec["fold_at_live_rows"] = fold_rows    # post-shrink steady state
+    _emit(rec)
 
 
 def run_sumcheck(*num_vars_list):
