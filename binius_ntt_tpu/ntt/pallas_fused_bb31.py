@@ -16,8 +16,14 @@ n/2^(s+1) entries and every tile's share is a contiguous slice — each
 stage's twiddles arrive through their own BlockSpec with a plain
 (instance, 0) index map.  Lane-stage twiddles are host-expanded to full
 (r, j) planes (one tile-read of HBM per lane stage, ~7 extra tile reads
-for the bottom group) so the kernel never reshapes across lanes; row
-stages stream the compact slices (~1 extra tile read total).
+for the bottom group) so the kernel never reshapes across lanes — Mosaic
+rejects lane-splitting reshapes, so the repeat cannot move in-kernel;
+row stages stream the compact slices (~1 extra tile read total).
+Capacity cost of the expansion: the 7 lane tables each hold n words, so
+an NTTRadix2 instance carries ~7n x 4 B of twiddle planes (3.5 GB at the
+class's maximum log_n = 27; a forward+inverse pair ~7 GB) — within the
+16 GB v5e budget at every size the constructor accepts, and bought a
+2.9x transform speedup (PERF.md BB31 section).
 
 Layout: element e = 128*r + j sits at row r, lane j of the (n/128, 128)
 array (after the input bit-reversal gather, gpuntt.cuh:163-168).  DIF

@@ -28,8 +28,9 @@ def main():
             if not _plausible(r):
                 continue
             key = (r["suite"],) + tuple(
-                r.get(k) for k in ("log_h", "log_len", "rate", "num_vars",
-                                   "composition", "op", "target", "variant"))
+                r.get(k) for k in ("log_h", "log_len", "log_n", "rate",
+                                   "num_vars", "composition", "op",
+                                   "target", "variant", "phase"))
             rows[key] = r          # latest wins
 
     suites = OrderedDict()

@@ -25,15 +25,15 @@ step () {
     echo "$name rc=$rc" | tee -a "$STATUS"
 }
 
-# 1. clean plane-major A/B (device-resident inputs, quiet chip)
-step r3_pm32_20_rm   1200 python tools/device_pm_ab.py ntt32 20 rm
-step r3_pm32_20_pm   1200 python tools/device_pm_ab.py ntt32 20 pm
-step r3_pm32_24_rm   1800 python tools/device_pm_ab.py ntt32 24 rm
-step r3_pm32_24_pm   1800 python tools/device_pm_ab.py ntt32 24 pm
-step r3_pm128_20_rm  1800 python tools/device_pm_ab.py ntt128 20 rm
-step r3_pm128_20_pm  1800 python tools/device_pm_ab.py ntt128 20 pm
-step r3_pm128_24_rm  2400 python tools/device_pm_ab.py ntt128 24 rm
-step r3_pm128_24_pm  2400 python tools/device_pm_ab.py ntt128 24 pm
+# 1. clean fused-NTT steady-state timings (device-resident inputs, quiet
+# chip).  HISTORICAL NOTE: this queue originally also ran the 'pm'
+# variants; the plane-major bodies lost that A/B (rows committed in
+# TPU_VALIDATION.jsonl) and were deleted, so device_pm_ab now rejects
+# any variant other than 'rm'.
+step r3_ntt32_20   1200 python tools/device_pm_ab.py ntt32 20 rm
+step r3_ntt32_24   1800 python tools/device_pm_ab.py ntt32 24 rm
+step r3_ntt128_20  1800 python tools/device_pm_ab.py ntt128 20 rm
+step r3_ntt128_24  2400 python tools/device_pm_ab.py ntt128 24 rm
 
 # 2. QM31 fused-round steady state (new in round 3)
 step r3_qm31_perf    3600 python tools/tpu_validation.py qm31_perf 24
