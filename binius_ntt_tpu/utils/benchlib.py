@@ -21,7 +21,13 @@ def _force(result) -> None:
     import jax
 
     leaf = jax.tree_util.tree_leaves(result)[0]
-    np.asarray(leaf.ravel()[:8])
+    # Slice WITHOUT ravel(): reshape of a device array materialises a
+    # full copy on TPU — a hidden buffer the size of the result per
+    # force (OOM at capacity sizes: 2^28 sumcheck fold died here).
+    if leaf.ndim == 0:
+        np.asarray(leaf)
+    else:
+        np.asarray(leaf[(0,) * (leaf.ndim - 1)][:8])
 
 
 def device_time(fn, *args, reps: int = 8, trials: int = 3,

@@ -273,6 +273,10 @@ def run_sumcheck_perf(num_vars: int = 24, comp: int = 2):
     # the steady state at the post-shrink shape (rounds 2+).
     fold_rows = rows
     if capacity_limited:
+        # release the prover's reference to the original buffer before
+        # donating it — a lingering reference pins gigabytes at 2^28
+        s._device_evals = None
+        del s
         buf0 = pr.fold_kernel(buf0, challenge, jnp.int32(rows), shrink=True)
         fold_rows = rows // 2
     state = {"buf": buf0}
