@@ -205,8 +205,8 @@ def fold_kernel_impl(planar, challenge, rows, *, interpret: bool = False):
 
     challenge: (4,) uint32 canonical QM31.  The buffer keeps its full
     planar shape for the whole protocol, so one compile serves every
-    round; jit with donation (`fold_kernel`) to keep peak HBM at
-    in + out = 2 buffers.
+    round; peak HBM is in + out = 2 buffers (`fold_kernel` deliberately
+    does not donate — see the note at its definition).
     """
     _, _, r, _ = planar.shape
     grid = r // (2 * TB)
@@ -258,7 +258,11 @@ def fold_kernel_impl(planar, challenge, rows, *, interpret: bool = False):
     )(jnp.asarray(live, jnp.int32).reshape(1), ch_row, planar, planar)
 
 
-fold_kernel = jax.jit(fold_kernel_impl, donate_argnums=(0,))
+# NOT donated for the same reason as pallas_round.fold_kernel: the
+# planar buffer feeds the kernel twice (lo/up views), so donation makes
+# XLA insert a full defensive copy (buffer-sized temp) per fold; the
+# caller rebinds each round, freeing the old buffer anyway.
+fold_kernel = jax.jit(fold_kernel_impl)
 
 
 # ---- CPU-testable jnp twins of the same planar math ----

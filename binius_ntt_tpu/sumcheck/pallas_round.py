@@ -255,12 +255,14 @@ def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):
     )(jnp.asarray(live, jnp.int32).reshape(1), planes, evals, evals)
 
 
-# The production entry donates the buffer (the protocol rebinds it every
-# round, so XLA frees the input as soon as the fold completes).  Callers
-# that reuse a buffer across calls must jit fold_kernel_impl themselves
-# without donation.
-fold_kernel = jax.jit(fold_kernel_impl, donate_argnums=(0,),
-                      static_argnames=("shrink",))
+# Deliberately NOT donated: evals feeds the kernel twice (lo and up
+# views), so XLA guards a donated buffer with a full defensive copy —
+# compiled memory analysis shows a buffer-sized temp (512 MB at 2^24
+# C=2, one extra HBM read+write per fold) for the donated variant and
+# temp=0 without donation, at identical peak (in + out either way).
+# The protocol rebinds the buffer every round, so the old input is
+# freed as soon as the fold completes regardless.
+fold_kernel = jax.jit(fold_kernel_impl, static_argnames=("shrink",))
 
 
 def round_emulate(evals, *, num_points: int):

@@ -453,8 +453,7 @@ def run_qm31_perf(num_vars: int = 24):
     round_ok = bool(np.array_equal(got, want))
     t_round = device_time(lambda: ppr.round_kernel(planar, jnp.int32(rows)))
 
-    # fold equality on the live prefix (undonated impl), then timing with
-    # the donating wrapper at constant occupancy
+    # fold equality on the live prefix, then timing at constant occupancy
     folded = np.asarray(ppr.fold_kernel_impl(planar, ch, jnp.int32(rows)))
     want_f = np.asarray(ppr.fold_emulate(planar, ch, rows))
     half = rows // ppr.LANES // 2
