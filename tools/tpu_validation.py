@@ -163,10 +163,16 @@ def run_ntt128(lo: int, hi: int):
 
     for log_h in range(lo, hi + 1):
         ntt = AdditiveNTT128(log_h, 0)
-        x = jnp.asarray(
-            mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4
-                           ).reshape(-1, 128))
-        sliced = jax.jit(bitslice_transpose)(x)
+        xh = mt19937_stream(0xDEADBEEF + log_h, (1 << log_h) * 4
+                            ).reshape(-1, 128)
+        if (1 << log_h) * 16 * 4 > 14 * 10**9:
+            # capacity sizes: the on-device transpose's HLO temps run
+            # ~4x the array (measured 16 GB at 2^28's 4 GB array) —
+            # bitslice on host instead (one-time prep)
+            sliced = jnp.asarray(bitslice_transpose(xh))
+        else:
+            sliced = jax.jit(bitslice_transpose)(jnp.asarray(xh))
+        del xh
         jax.block_until_ready(sliced)
         best = device_time(lambda: ntt.apply_sliced(sliced), reps=3)
         bfs = log_h * (1 << (log_h - 1)) / best
