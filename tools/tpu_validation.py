@@ -154,12 +154,18 @@ def run_ntt128(lo: int, hi: int):
     from binius_ntt_tpu.utils.benchlib import device_time
     from binius_ntt_tpu.utils.mt19937 import mt19937_stream
 
-    words = mt19937_stream(77, (1 << lo) * 4)
-    a = np.asarray(AdditiveNTT128(lo, 0, use_fused=True).apply(words))
-    b = np.asarray(AdditiveNTT128(lo, 0, use_fused=False).apply(words))
-    _emit({"suite": "ntt128_equality", "log_h": lo,
+    # fused-vs-per-stage equality: cap at 2^24 — the per-stage reference
+    # path's compile cost grows superlinearly with size (the problem the
+    # fused path exists to solve) and its device memory would OOM the
+    # capacity sweep; bit-exactness at capacity sizes is pinned by the
+    # oracle golden digests instead (ntt128_golden).
+    eq = min(lo, 24)
+    words = mt19937_stream(77, (1 << eq) * 4)
+    a = np.asarray(AdditiveNTT128(eq, 0, use_fused=True).apply(words))
+    b = np.asarray(AdditiveNTT128(eq, 0, use_fused=False).apply(words))
+    _emit({"suite": "ntt128_equality", "log_h": eq,
            "pass": bool(np.array_equal(a, b))})
-    del a, b
+    del a, b, words
 
     for log_h in range(lo, hi + 1):
         ntt = AdditiveNTT128(log_h, 0)
