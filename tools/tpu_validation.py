@@ -185,7 +185,7 @@ def run_ntt128(lo: int, hi: int):
         _emit({"suite": "ntt128_perf", "log_h": log_h,
                "seconds": round(best, 5),
                "butterflies_per_s": round(bfs, 0)})
-        del sliced, x
+        del sliced
 
 
 def run_ntt128_golden(lo: int, hi: int, rates=(0, 2)):
