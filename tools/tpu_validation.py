@@ -528,7 +528,12 @@ def main():
     elif which == "ntt128":
         run_ntt128(*args)
     elif which == "ntt128_golden":
-        run_ntt128_golden(*args)
+        # optional 3rd arg restricts to a single rate (resume after a
+        # timeout without re-running completed (size, rate) pins)
+        if len(args) == 3:
+            run_ntt128_golden(args[0], args[1], rates=(args[2],))
+        else:
+            run_ntt128_golden(*args)
     elif which == "rates":
         run_rates(*args)
     elif which == "sumcheck_perf":
