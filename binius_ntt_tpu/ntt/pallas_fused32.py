@@ -355,10 +355,24 @@ def _group_body32(xt, q, tabs, *, k: int, pt: int, include_low: bool,
 
 
 def _mul32(a, b):
-    """Bit-sliced GF(2^32) multiply on packed (N, 128) rows (row-major
-    fallback): transposes to the plane-major (PACK, 32, N) view, runs the
-    straight-line circuit, transposes back."""
+    """Bit-sliced GF(2^32) multiply on packed (N, 128) rows: transposes to
+    plane-major and runs the straight-line circuit on dense (4N/128, 128)
+    bit planes.  The plane SHAPE matters: (PACK, N) planes leave 4 of 8
+    sublanes dead (PERF.md rule 6 — Mosaic pads short minor-2 axes), and
+    the round-3 device A/B (tools/mul32_shape_ab.py, suite mul32_shape_ab)
+    measured the dense 2-D form at 1.36 vs 2.56 us per tile-multiply —
+    1.88x — with the extra 3-D transposes included."""
     n = a.shape[0]
+    if (PACK * n) % 128 == 0:
+        def fwd(x):
+            t = x.T.reshape(PACK, W32, n).transpose(1, 0, 2)   # (32, 4, n)
+            return t.reshape(W32, (PACK * n) // 128, 128)
+        at, bt = fwd(a), fwd(b)
+        out = jnp.stack(_mul_planes([at[i] for i in range(W32)],
+                                    [bt[i] for i in range(W32)], 5))
+        return (out.reshape(W32, PACK, n).transpose(1, 0, 2)
+                .reshape(PACK * W32, n).T)
+    # tiny-tile fallback (n < 32): keep the (PACK, n) plane form
     at = a.T.reshape(PACK, W32, n)
     bt = b.T.reshape(PACK, W32, n)
     pa = [at[:, i] for i in range(W32)]

@@ -102,7 +102,8 @@ def emit(rec):
 def main():
     chain = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     log_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 15
-    rows, tile = 1 << log_rows, 2048
+    tile = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    rows = 1 << log_rows
 
     rng = np.random.default_rng(7)
     a = rng.integers(0, 1 << 32, (rows, 128), dtype=np.uint32)
@@ -112,7 +113,14 @@ def main():
     ref = None
     for name in VARIANTS:
         fn = make_fn(name, rows, tile, chain)
-        out = np.asarray(fn(da, db))
+        try:
+            out = np.asarray(fn(da, db))
+        except Exception as e:  # Mosaic lowering rejections are evidence too
+            emit({"suite": "mul32_shape_ab", "variant": name, "chain": chain,
+                  "rows": rows, "tile": tile,
+                  "error": f"{type(e).__name__}: "
+                           + str(e).splitlines()[0][:160]})
+            continue
         if ref is None:
             ref = out
         eq = bool((out == ref).all())
