@@ -82,7 +82,23 @@ def _bit_masks32(constants, offset: int, count: int) -> np.ndarray:
 
 
 def _mul32_pm(wa, vb):
-    """Plane-major multiply: wa broadcastable to vb, both (..., 32, n)."""
+    """Plane-major multiply: wa broadcastable to vb, both (..., 32, n).
+
+    Like _mul32, the circuit runs on dense (size/128, 128) plane tiles:
+    the natural (2, kk) planes of the low-stage section leave 6 of 8
+    sublanes dead (mul32_shape_ab device A/B; PERF.md rule 6).  The
+    reshape keeps the 128-lane minor axis intact (kk % 128 == 0), which
+    Mosaic accepts; odd-size planes fall back to the natural shape."""
+    shp = jnp.broadcast_shapes(wa.shape, vb.shape)
+    bshape = shp[:-2] + shp[-1:]            # one bit-plane's shape
+    size = int(np.prod(bshape))
+    if size % 128 == 0:
+        def planes(x):
+            x = jnp.broadcast_to(x, shp)
+            return [x[..., i, :].reshape(size // 128, 128)
+                    for i in range(W32)]
+        out = _mul_planes(planes(wa), planes(vb), 5)
+        return jnp.stack([o.reshape(bshape) for o in out], axis=-2)
     pa = [wa[..., i, :] for i in range(W32)]
     pb = [vb[..., i, :] for i in range(W32)]
     out = _mul_planes(pa, pb, 5)
