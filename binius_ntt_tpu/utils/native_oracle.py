@@ -26,7 +26,7 @@ def _load():
         return _lib
     if not _LIB.exists() or _LIB.stat().st_mtime < (_SRC / "oracle.cpp").stat().st_mtime:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB),
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", str(_LIB),
              str(_SRC / "oracle.cpp")],
             check=True,
         )

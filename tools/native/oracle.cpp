@@ -101,6 +101,57 @@ struct Tower<0> {
   static uint64_t inv(uint64_t a) { return a & 1; }
 };
 
+// Height-3 table floor: the golden-tail digests (log_h 26..28) cost hours
+// per entry on one core if the recursion bottoms out at height 0.  Bottoming
+// out in a 64 KB height-3 mul table (built once, at load, from the same
+// Karatsuba recursion over Tower<2>) keeps the results bit-identical while
+// cutting the leaf-op count per Tower<6>::mul from 3^6 recursive calls to
+// 3^3 L1-resident loads.
+struct T3Tables {
+  uint8_t mul[256][256];
+  uint8_t alpha[256];
+  uint8_t sq[256];
+  uint8_t inv[256];
+  T3Tables() {
+    auto rmul = [](uint64_t a, uint64_t b) -> uint64_t {
+      uint64_t a0 = a & 0xf, a1 = (a >> 4) & 0xf;
+      uint64_t b0 = b & 0xf, b1 = (b >> 4) & 0xf;
+      uint64_t z0 = Tower<2>::mul(a0, b0);
+      uint64_t z2 = Tower<2>::mul(a1, b1);
+      uint64_t z1 = Tower<2>::mul(a0 ^ a1, b0 ^ b1) ^ z0 ^ z2;
+      return (z0 ^ z2) | ((z1 ^ Tower<2>::mul_alpha(z2)) << 4);
+    };
+    for (int a = 0; a < 256; ++a) {
+      uint64_t a0 = a & 0xf, a1 = (uint64_t(a) >> 4) & 0xf;
+      alpha[a] = uint8_t(a1 | ((a0 ^ Tower<2>::mul_alpha(a1)) << 4));
+      uint64_t s0 = Tower<2>::sq(a0), s2 = Tower<2>::sq(a1);
+      sq[a] = uint8_t((s0 ^ s2) | (Tower<2>::mul_alpha(s2) << 4));
+      if (a == 0) {
+        inv[a] = 0;
+      } else if (a1 == 0) {
+        inv[a] = uint8_t(Tower<2>::inv(a0));
+      } else {
+        uint64_t inter = a0 ^ Tower<2>::mul_alpha(a1);
+        uint64_t delta = Tower<2>::mul(a0, inter) ^ Tower<2>::sq(a1);
+        uint64_t dinv = Tower<2>::inv(delta);
+        inv[a] = uint8_t(Tower<2>::mul(dinv, inter) |
+                         (Tower<2>::mul(dinv, a1) << 4));
+      }
+      for (int b = 0; b < 256; ++b) mul[a][b] = uint8_t(rmul(a, b));
+    }
+  }
+};
+
+const T3Tables T3;  // built at library load
+
+template <>
+struct Tower<3> {
+  static uint64_t mul(uint64_t a, uint64_t b) { return T3.mul[a][b]; }
+  static uint64_t sq(uint64_t a) { return T3.sq[a]; }
+  static uint64_t mul_alpha(uint64_t a) { return T3.alpha[a]; }
+  static uint64_t inv(uint64_t a) { return T3.inv[a]; }
+};
+
 // 128-bit elements as two uint64 halves (one Karatsuba level over height 6).
 struct U128 {
   uint64_t lo, hi;
