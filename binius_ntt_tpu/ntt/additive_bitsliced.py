@@ -153,6 +153,21 @@ class AdditiveNTT128:
         """Compact interface: x_words (2^log_h * 4,) uint32 little-endian
         element-major -> (2^(log_h+log_rate) * 4,) words."""
         n = 1 << self.log_h
+        # Capacity gate: the on-device (un)transpose's HLO temps run ~4x
+        # the array (measured 16 GB at 2^28's 4 GB array) — at sizes where
+        # that exceeds HBM, do the layout transforms on the host instead
+        # (numpy path of layout/bitslicing.py) and keep the device for the
+        # transform itself.
+        out_n = 1 << (self.log_h + self.log_rate)
+        if max(n, out_n) * 16 * 4 > 14 * 10**9:
+            xh = np.asarray(x_words, dtype=np.uint32)
+            if xh.shape != (n * IPV,):
+                raise ValueError(
+                    f"apply: input shape {xh.shape} != (2^log_h * {IPV},) = "
+                    f"({n * IPV},)")
+            sliced = jnp.asarray(bitslice_transpose(xh.reshape(n // 32, W)))
+            out = np.asarray(self.apply_sliced(sliced))
+            return bitslice_untranspose(out).reshape(-1)
         x = jnp.asarray(x_words, dtype=jnp.uint32)
         if x.shape != (n * IPV,):
             raise ValueError(

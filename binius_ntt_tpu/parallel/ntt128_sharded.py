@@ -40,6 +40,15 @@ from .mesh import AXIS
 
 __all__ = ["ShardedAdditiveNTT128"]
 
+# Communication/compute overlap: each cross-device stage splits the local
+# shard into this many halves and issues one ppermute per half, so XLA's
+# async collectives (collective-permute-start/done) can run half k+1's
+# exchange while half k's butterflies compute — and, across stages, half
+# 0's next-stage exchange while half 1 is still multiplying.  Total bytes
+# exchanged are unchanged (pinned by tools/comm_volume.py); SCALING.md §4
+# puts the D=16 weak-scaling gain at ~80% -> ~95%.  1 disables.
+OVERLAP_HALVES = 2
+
 
 class ShardedAdditiveNTT128:
     """use_fused=True (default) runs the shard-LOCAL stages through the
@@ -162,15 +171,24 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes,
     lowb = {s: t for s, t in zip(range(min(log_h, 5)), low_batch_tables)}
     lowl = {s: t for s, t in zip(range(min(log_h, 5)), low_lane_planes)}
 
-    # ---- high stages ----
-    for s in range(log_h - 1, local_floor - 1, -1):
-        db = 1 << (s - 5)
-        if db >= sb:
-            # cross-device: partner shard exchange
+    # ---- cross-device stages (the top log_d: s >= log_h - log_d) ----
+    # Double-buffered shard halves: all ppermutes of a stage are issued
+    # before any butterfly math, and the halves stay split ACROSS stages,
+    # so half h's next-stage exchange depends only on half h's butterfly —
+    # XLA's async collective-permute overlaps it with the other half's
+    # multiply (OVERLAP_HALVES above; bit-exactness pinned on the CPU mesh
+    # by tests/test_sharded.py, schedule by tests/test_comm_volume.py).
+    cross_lo = log_h - log_d
+    if log_d > 0:
+        nh = OVERLAP_HALVES if sb % OVERLAP_HALVES == 0 else 1
+        hb = sb // nh
+        parts = [x[:, i * hb:(i + 1) * hb] for i in range(nh)]
+        for s in range(log_h - 1, cross_lo - 1, -1):
+            db = 1 << (s - 5)
             bit = int(np.log2(db // sb))
             mask = 1 << bit
             perm = [(i, i ^ mask) for i in range(n_dev)]
-            recv = jax.lax.ppermute(x, AXIS, perm)
+            recvs = [jax.lax.ppermute(p, AXIS, perm) for p in parts]
             block = (d >> (bit + 1)).astype(jnp.uint32)
             ind = (coset_ids << (log_h - 1 - s)) | block
             w4 = high[s][ind]                       # (C, 4)
@@ -178,29 +196,36 @@ def _sharded_apply128(x, high_tables, low_batch_tables, low_lane_planes,
             from ..sumcheck.prover import _mul128
 
             i_am_v = ((d >> bit) & 1).astype(bool)
-            wpb = jnp.broadcast_to(wp, x.shape)
-            # one multiply serves both sides (w*v with v = recv on the
-            # u-side device, v = x on the v-side device)
-            m = _mul128(wpb, jnp.where(i_am_v, x, recv))
-            x = jnp.where(i_am_v, (recv ^ m) ^ x, x ^ m)
-        else:
-            groups_local = sb // (2 * db)
-            groups_global = nb // (2 * db)
-            # indicator = coset << (log_h-1-s) | group with groups contiguous
-            # per coset: a reshape + slice at this device's offset, NOT a
-            # gather (gathers are row-at-a-time on TPU)
-            table = high[s].reshape(cosets, groups_global, IPV)
-            w4 = jax.lax.dynamic_slice(
-                table, (0, d * groups_local, 0),
-                (cosets, groups_local, IPV))
-            wp = _expand_bits(w4)[:, :, None, :]
-            from ..sumcheck.prover import _mul128
+            new_parts = []
+            for p, recv in zip(parts, recvs):
+                wpb = jnp.broadcast_to(wp, p.shape)
+                # one multiply serves both sides (w*v with v = recv on the
+                # u-side device, v = x on the v-side device)
+                m = _mul128(wpb, jnp.where(i_am_v, p, recv))
+                new_parts.append(jnp.where(i_am_v, (recv ^ m) ^ p, p ^ m))
+            parts = new_parts
+        x = parts[0] if nh == 1 else jnp.concatenate(parts, axis=1)
 
-            v5 = x.reshape(cosets, groups_local, 2, db, W)
-            u, v = v5[:, :, 0], v5[:, :, 1]
-            u2 = u ^ _mul128(jnp.broadcast_to(wp, v.shape), v)
-            v2 = u2 ^ v
-            x = jnp.stack([u2, v2], axis=2).reshape(cosets, sb, W)
+    # ---- shard-local high stages ----
+    for s in range(cross_lo - 1, local_floor - 1, -1):
+        db = 1 << (s - 5)
+        groups_local = sb // (2 * db)
+        groups_global = nb // (2 * db)
+        # indicator = coset << (log_h-1-s) | group with groups contiguous
+        # per coset: a reshape + slice at this device's offset, NOT a
+        # gather (gathers are row-at-a-time on TPU)
+        table = high[s].reshape(cosets, groups_global, IPV)
+        w4 = jax.lax.dynamic_slice(
+            table, (0, d * groups_local, 0),
+            (cosets, groups_local, IPV))
+        wp = _expand_bits(w4)[:, :, None, :]
+        from ..sumcheck.prover import _mul128
+
+        v5 = x.reshape(cosets, groups_local, 2, db, W)
+        u, v = v5[:, :, 0], v5[:, :, 1]
+        u2 = u ^ _mul128(jnp.broadcast_to(wp, v.shape), v)
+        v2 = u2 ^ v
+        x = jnp.stack([u2, v2], axis=2).reshape(cosets, sb, W)
 
     if fused_groups is not None:
         # shard-local stages via the fused stage-group kernel: same 2-3

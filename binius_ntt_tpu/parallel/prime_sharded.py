@@ -89,7 +89,15 @@ class ShardedPrimeFieldSumcheck:
         self._device_evals = jax.device_put(
             arr, NamedSharding(mesh, Pspec(AXIS)))
         self._tail: PrimeFieldSumcheck | None = None
+        self._build_fns()
 
+    def _build_fns(self):
+        mesh = self.mesh
+        # check_vma=False for the same reason as sumcheck_sharded.py: the
+        # round ends in m31_all_reduce (all_gather + lax.reduce with the
+        # modular-add monoid), replicated by algebra but opaque to
+        # shard_map's static replication checker; bit-equality vs the
+        # single-chip prover is pinned in tests/test_sharded.py.
         self._round_fn = jax.jit(jax.shard_map(
             lambda e: _local_round(e[0]),
             mesh=mesh, in_specs=(Pspec(AXIS),), out_specs=Pspec(),
@@ -99,6 +107,46 @@ class ShardedPrimeFieldSumcheck:
             lambda e, c: _local_fold(e[0], c)[None],
             mesh=mesh, in_specs=(Pspec(AXIS), Pspec()), out_specs=Pspec(AXIS),
         ))
+
+    # ---- checkpoint / resume -------------------------------------------
+    # Global row order is serialised, so a resume may use a mesh of a
+    # different size (or fall back to the single-chip tail prover).
+
+    def state_dict(self) -> dict:
+        d = {"round": self.round}
+        if self._tail is not None:
+            d["evals"] = None
+            d["tail"] = self._tail.state_dict()
+            return d
+        replicate = jax.jit(
+            lambda e: e, out_shardings=NamedSharding(self.mesh, Pspec()))
+        g = np.asarray(replicate(self._device_evals))   # (D, 2, J, 4)
+        d["evals"] = np.ascontiguousarray(
+            g.transpose(1, 2, 0, 3).reshape(2, -1, 4))
+        d["tail"] = None
+        return d
+
+    @classmethod
+    def from_state_dict(cls, d: dict, mesh) -> "ShardedPrimeFieldSumcheck":
+        if d["evals"] is not None and d["evals"].shape[1] >= 2 * int(
+                mesh.devices.size):
+            self = cls(d["evals"], mesh)
+            self.round = int(d["round"])
+            return self
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.n_dev = int(mesh.devices.size)
+        self.round = int(d["round"])
+        self._device_evals = None
+        self._build_fns()
+        if d["evals"] is not None:
+            self._num_rows = d["evals"].shape[1]
+            self._tail = PrimeFieldSumcheck(jnp.asarray(d["evals"]))
+            self._tail.round = self.round
+        else:
+            self._tail = PrimeFieldSumcheck.from_state_dict(d["tail"])
+            self._num_rows = self._tail._num_rows
+        return self
 
     def round_messages(self) -> np.ndarray:
         if self._tail is not None:

@@ -106,7 +106,10 @@ class ShardedSumcheck:
             dev = jax.jit(bitslice_transpose)(dev)
         self._device_evals = dev      # (D, C, B/D, W) sharded on axis 0
         self._tail: Sumcheck | None = None
+        self._build_fns()
 
+    def _build_fns(self):
+        mesh = self.mesh
         self._coeffs_np = np.stack([
             repeat_value_bitsliced(np.array([p, 0, 0, 0], np.uint32), BITS_WIDTH)
             for p in range(self.num_points)
@@ -114,6 +117,15 @@ class ShardedSumcheck:
         self._coeffs = jax.device_put(
             jnp.asarray(self._coeffs_np), NamedSharding(mesh, Pspec()))
 
+        # check_vma=False: the round body ends in xor_all_reduce
+        # (all_gather + lax.reduce with the XOR monoid) — replicated by
+        # algebra, but shard_map's static replication checker cannot infer
+        # invariance through lax.reduce with a custom computation, so
+        # out_specs=P() is rejected with "could not infer replication over
+        # any axes" (probed on jax 0.9).  Correctness is pinned by the
+        # bit-equality tests against the single-chip prover
+        # (tests/test_sharded.py) and by the comm-schedule HLO pin
+        # (tools/comm_volume.py: exactly one all-gather per round).
         self._round_fn = jax.jit(jax.shard_map(
             partial(_wrapped_round, num_points=self.num_points),
             mesh=mesh,
@@ -127,6 +139,67 @@ class ShardedSumcheck:
             in_specs=(Pspec(AXIS), Pspec()),
             out_specs=Pspec(AXIS),
         ))
+
+    # ---- checkpoint / resume -------------------------------------------
+    # The complete protocol state is (round, folded evaluations) — exactly
+    # the property SURVEY.md §5 calls out (the reference's implicit state,
+    # sumcheck.cuh:25-29).  The sharded prover serialises the GLOBAL row
+    # order, so a 2^28 multi-host run can resume on a mesh of a DIFFERENT
+    # size (or on one chip) — the elastic-recovery story for the configs
+    # long enough to need it.
+
+    def state_dict(self) -> dict:
+        d = {
+            "num_vars": self.num_vars,
+            "composition_size": self.composition_size,
+            "round": self.round,
+        }
+        if self._tail is not None:
+            d["evals"] = None
+            d["tail"] = self._tail.state_dict()
+            return d
+        # gather replicated (np.asarray on a P(AXIS)-sharded array raises
+        # for non-addressable shards under multi-process), then invert the
+        # cyclic layout: (D, C, J, W) -> global row j*D + d
+        replicate = jax.jit(
+            lambda e: e, out_shardings=NamedSharding(self.mesh, Pspec()))
+        g = np.asarray(replicate(self._device_evals))
+        d["evals"] = np.ascontiguousarray(
+            g.transpose(1, 2, 0, 3).reshape(
+                self.composition_size, -1, BITS_WIDTH))
+        d["tail"] = None
+        return d
+
+    @classmethod
+    def from_state_dict(cls, d: dict, mesh) -> "ShardedSumcheck":
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.num_vars = int(d["num_vars"])
+        self.composition_size = int(d["composition_size"])
+        self.num_points = self.composition_size + 1
+        self.round = int(d["round"])
+        self.n_dev = int(mesh.devices.size)
+        self._build_fns()
+        if d["evals"] is None:
+            self._tail = Sumcheck.from_state_dict(d["tail"])
+            self._device_evals = None
+            return self
+        glob = np.ascontiguousarray(np.asarray(d["evals"], dtype=np.uint32))
+        c, b, _ = glob.shape
+        if b < 2 * self.n_dev:
+            # too few live rows for this mesh: run the rest on the
+            # single-chip tail (same handoff as move_to_next_round)
+            self._tail = Sumcheck._from_state(
+                jnp.asarray(glob), self.composition_size, self.num_vars,
+                self.round)
+            self._device_evals = None
+            return self
+        arr = glob.reshape(c, b // self.n_dev, self.n_dev, BITS_WIDTH
+                           ).transpose(2, 0, 1, 3)
+        self._device_evals = jax.device_put(
+            arr, NamedSharding(mesh, Pspec(AXIS)))
+        self._tail = None
+        return self
 
     @property
     def _local_rows(self) -> int:

@@ -141,6 +141,28 @@ class PrimeFieldSumcheck:
         else:
             self._evals = evals
 
+    # ---- checkpoint / resume -------------------------------------------
+    # (round, live folded rows) is the complete protocol state; rows are
+    # serialised in the canonical AoS layout regardless of which execution
+    # path (planar Pallas / jnp) currently holds them.
+
+    def state_dict(self) -> dict:
+        if self._planar is not None:
+            from . import pallas_prime_round as ppr
+
+            live = self._planar[:, :, : self._num_rows // ppr.LANES]
+            evals = np.asarray(ppr.aos_from_planar(live))
+        else:
+            evals = np.asarray(self._evals[:, : self._num_rows])
+        return {"round": self.round, "evals": evals}
+
+    @classmethod
+    def from_state_dict(cls, d: dict,
+                        use_pallas: bool | None = None) -> "PrimeFieldSumcheck":
+        self = cls(jnp.asarray(d["evals"]), use_pallas=use_pallas)
+        self.round = int(d["round"])
+        return self
+
     def round_messages(self) -> np.ndarray:
         """Round polynomial at X = 0, 1, 2 as a (3, 4) uint32 array."""
         if self._planar is not None:

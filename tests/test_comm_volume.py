@@ -4,8 +4,12 @@ The weak-scaling analysis depends on three layout facts about what XLA's
 SPMD partitioner emits (collectives are decided before backend codegen,
 so the CPU-mesh compile is authoritative for a real ICI mesh):
 
-  * sharded GF(2^128) NTT: exactly log2(D) collective-permutes, each of
-    exactly the local shard — nothing else;
+  * sharded GF(2^128) NTT: exactly log2(D) cross-device exchanges of
+    exactly the local shard — nothing else.  Each exchange is issued as
+    OVERLAP_HALVES collective-permutes of half the shard (the double
+    buffering that lets XLA overlap one half's exchange with the other
+    half's butterflies), so op count = OVERLAP_HALVES * log2(D) while
+    total permuted bytes stay exactly log2(D) * shard;
   * sharded sumcheck round: exactly one all-gather of the (1+P)*128-word
     partial sums;
   * sharded sumcheck fold: zero collectives.
@@ -53,8 +57,10 @@ def test_ntt128_ppermute_schedule(mesh):
         x, _dict_to_tuple(high), _dict_to_tuple(lowb), _dict_to_tuple(lowl),
         ntt._fused_arrays).compile().as_text()
     got = collective_bytes(hlo)
+    from binius_ntt_tpu.parallel.ntt128_sharded import OVERLAP_HALVES
     shard_bytes = cosets * (nb // d) * 128 * 4
-    assert got["collective-permute"]["count"] == ntt.log_d
+    assert got["collective-permute"]["count"] == (
+        ntt.log_d * OVERLAP_HALVES)
     assert got["collective-permute"]["bytes"] == ntt.log_d * shard_bytes
     assert got["total_bytes"] == ntt.log_d * shard_bytes, (
         "unexpected extra collectives in the sharded NTT")

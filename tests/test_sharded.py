@@ -162,3 +162,83 @@ def test_sharded_prime_sumcheck_bit_identical():
         assert np.array_equal(pa, pb), f"round {r} diverged"
         a.fold(chals[r])
         b.fold(chals[r])
+
+
+@needs_mesh
+@pytest.mark.parametrize("snap_round,resume_devices", [
+    (1, 8),    # live sharded state, same mesh
+    (2, 4),    # live sharded state, SMALLER mesh (elastic resume)
+    (4, 8),    # after the single-chip tail handoff
+])
+def test_sharded_sumcheck_checkpoint_resume(snap_round, resume_devices):
+    """state_dict/from_state_dict mid-protocol reproduces the uninterrupted
+    prover's messages bit-exactly — including resuming onto a mesh of a
+    different size (the state serialises GLOBAL row order).  This is the
+    checkpoint story SURVEY.md §5 asks for on the sharded prover (the
+    config long enough to need it: 2^28 multi-host)."""
+    mesh = make_mesh()
+    nv, comp = 10, 2
+    n_ints = INTS_PER_VALUE * (1 << nv) * comp
+    vals = mt19937_stream(321, n_ints + 4 * nv)
+    evals, chals = vals[:n_ints], vals[n_ints:].reshape(nv, 4)
+
+    ref = Sumcheck(evals.copy(), comp, nv)
+    b = ShardedSumcheck(evals.copy(), comp, nv, mesh)
+    for rnd in range(snap_round):
+        ref.round_messages()
+        ref.move_to_next_round(chals[rnd])
+        b.round_messages()
+        b.move_to_next_round(chals[rnd])
+
+    state = b.state_dict()
+    del b
+    c = ShardedSumcheck.from_state_dict(state, make_mesh(resume_devices))
+    assert c.round == snap_round
+    for rnd in range(snap_round, nv):
+        sa, pa = ref.round_messages()
+        sb, pb = c.round_messages()
+        assert (sa == sb).all() and (pa == pb).all(), f"round {rnd}"
+        ref.move_to_next_round(chals[rnd])
+        c.move_to_next_round(chals[rnd])
+    sa, _ = ref.round_messages()
+    sb, _ = c.round_messages()
+    assert (sa == sb).all()
+
+
+@needs_mesh
+@pytest.mark.parametrize("snap_round,resume_devices", [
+    (2, 8),    # live sharded state
+    (3, 4),    # live state onto a smaller mesh
+    (5, 8),    # after the tail handoff
+])
+def test_sharded_prime_checkpoint_resume(snap_round, resume_devices):
+    from binius_ntt_tpu.fields.m31 import P
+    from binius_ntt_tpu.parallel.prime_sharded import (
+        ShardedPrimeFieldSumcheck)
+    from binius_ntt_tpu.sumcheck.prime_field import PrimeFieldSumcheck
+
+    mesh = make_mesh()
+    nv = 7
+    rng = np.random.default_rng(83)
+    evals = rng.integers(0, P, size=(2, 1 << nv, 4), dtype=np.uint32)
+    chals = rng.integers(0, P, size=(nv, 4), dtype=np.uint32)
+
+    ref = PrimeFieldSumcheck(evals)
+    b = ShardedPrimeFieldSumcheck(evals, mesh)
+    for r in range(snap_round):
+        ref.round_messages()
+        ref.fold(chals[r])
+        b.round_messages()
+        b.fold(chals[r])
+
+    state = b.state_dict()
+    del b
+    c = ShardedPrimeFieldSumcheck.from_state_dict(
+        state, make_mesh(resume_devices))
+    assert c.round == snap_round
+    for r in range(snap_round, nv):
+        pa = ref.round_messages()
+        pb = c.round_messages()
+        assert np.array_equal(pa, pb), f"round {r} diverged"
+        ref.fold(chals[r])
+        c.fold(chals[r])

@@ -2,8 +2,10 @@
 
 SCALING.md §4's weak-scaling analysis assumes a specific communication
 schedule: the sharded GF(2^128) NTT exchanges its whole local shard once
-per cross-device stage (log2(D) ppermutes), and the sharded sumcheck's
-only communication is one small XOR all-reduce per round.  This tool
+per cross-device stage (log2(D) exchanges, each issued as OVERLAP_HALVES
+half-shard ppermutes so the exchange overlaps the butterfly compute), and
+the sharded sumcheck's only communication is one small XOR all-reduce per
+round.  This tool
 *verifies those assumptions against what XLA actually compiled*: it lowers
 each sharded computation on a virtual 8-device CPU mesh, walks the
 post-SPMD HLO text, and sums the per-device bytes moved by every
