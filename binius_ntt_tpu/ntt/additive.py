@@ -120,7 +120,7 @@ class AdditiveNTT:
         # pays superlinear XLA:TPU compiles at 2^25+ (hours at 2^27+)
         if use_fused is None:
             use_fused = (height == 5 and log_h >= 7
-                         and jax.default_backend() not in ("cpu",))
+                         and jax.default_backend() == "tpu")
         self.use_fused = use_fused and height == 5 and log_h >= 7
         if self.use_fused:
             from . import pallas_fused32 as pf32
@@ -129,7 +129,7 @@ class AdditiveNTT:
             self._apply_fused = jax.jit(partial(
                 _apply_fused32_compact, tables=tables, log_h=log_h,
                 log_rate=log_rate,
-                conv_pallas=jax.default_backend() not in ("cpu",)))
+                conv_pallas=jax.default_backend() == "tpu"))
             return
         # one twiddle table per stage, indexed by the full indicator
         self._twiddles = tuple(

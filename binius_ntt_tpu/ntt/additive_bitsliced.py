@@ -87,7 +87,7 @@ class AdditiveNTT128:
 
         rows = precompute_subspace_evals(log_h, log_rate, HEIGHT)
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         # fused stage-group kernel: one HBM pass per ~10-15 stages instead of
         # one per stage (ntt/pallas_fused.py); needs >= 8 batches per tile

@@ -31,6 +31,7 @@ pairs batches across bit s-5; stages s < 5 are lane-local):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +50,9 @@ IPV = W // 32
 # KU=9/PT=8 upper kernels 16.8M against the 16.00M v5e limit; KB=9/KU=8
 # compile at ~9M with no measurable runtime cost (the transform is
 # ALU-bound; tile size only changes grid granularity).
-KB = 9
-KU = 8
-PT = 8
+KB = int(os.environ.get("BNTT_KB", "9"))
+KU = int(os.environ.get("BNTT_KU", "8"))
+PT = int(os.environ.get("BNTT_PT", "8"))
 
 # Stage-loop unroll switches (Mosaic supports only rolled or FULLY
 # unrolled loops).  Rolled bodies carry ONE multiply instantiation;
@@ -63,8 +64,17 @@ PT = 8
 # unrolled bodies ran 104 ms but cost ~1000 s of compile; the remaining
 # ~12 ms lives in the rolled hi-loop's scheduling, which full unroll of
 # the CURRENT body does not recover.)
-UNROLL_HI = False     # row-stage loop (k - n_zero steps per group)
+# BNTT_UNROLL_HI: 0 = rolled (default), -1 = full, n > 1 = partial
+# (n multiply instantiations per loop body — the round-3 A/B only tried
+# all-or-nothing; partial unroll is the round-4 experiment surface).
+UNROLL_HI = int(os.environ.get("BNTT_UNROLL_HI", "0"))
 UNROLL_LOW = True     # lane/low-stage loop (5 steps, bottom group only)
+
+# TIMING PROBE ONLY (produces WRONG transforms — golden must FAIL): replace
+# the constant-geometry interleave write-back with a plain contiguous
+# concatenate of identical op volume minus the sublane shuffle.  Isolates
+# how much of the hi-loop's time is the Pease rotation itself.
+_PROBE_CONCAT = os.environ.get("BNTT_PROBE_CONCAT", "") == "1"
 
 # A plane-major row-stage variant (lane-axis butterflies via pltpu.roll,
 # no per-multiply 2-D transposes) was built in round 2 and A/B'd on the
@@ -201,6 +211,10 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
     assert n_zero <= k
 
     def _interleave(u2, v2):
+        if _PROBE_CONCAT:        # timing probe: wrong geometry, same volume
+            return jnp.concatenate(
+                [u2.reshape(half, pt, W), v2.reshape(half, pt, W)],
+                axis=0)
         # rotate write-back: (b, j) -> 2j + b
         return jnp.stack(
             [u2.reshape(half, pt, W), v2.reshape(half, pt, W)],
@@ -224,8 +238,9 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
         return _interleave(u2, u2 ^ v)
 
     if k - n_zero > 0:
-        xt = jax.lax.fori_loop(n_zero, k, hi_body, xt,
-                               unroll=(k - n_zero) if UNROLL_HI else 1)
+        steps = k - n_zero
+        unroll = steps if UNROLL_HI == -1 else max(min(UNROLL_HI, steps), 1)
+        xt = jax.lax.fori_loop(n_zero, k, hi_body, xt, unroll=unroll)
 
     if include_low:
         assert pt == 1

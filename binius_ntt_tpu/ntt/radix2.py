@@ -73,7 +73,7 @@ class NTTRadix2:
         # DIF ladder in ~2 HBM passes with size-independent compile cost
         if use_fused is None:
             use_fused = (log_n >= 7
-                         and jax.default_backend() not in ("cpu",))
+                         and jax.default_backend() == "tpu")
         self.use_fused = use_fused and log_n >= 7
         # host-side copy for table builders/tests; the flat device twiddle
         # and gather tables are only uploaded on the per-stage path (the

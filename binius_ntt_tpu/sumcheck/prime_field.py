@@ -133,7 +133,7 @@ class PrimeFieldSumcheck:
         self._num_rows = evals.shape[1]
         self.round = 0
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = jax.default_backend() == "tpu"
         self._planar = None
         if use_pallas and self._num_rows >= 2 * ppr.TB * ppr.LANES:
             self._planar = ppr.planar_from_aos(evals)

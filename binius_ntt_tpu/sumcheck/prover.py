@@ -64,7 +64,7 @@ def _compute_sum(batch: np.ndarray, count: int) -> np.ndarray:
 def _use_pallas() -> bool:
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 def _mul128(a, b):

@@ -24,10 +24,13 @@ feed is the same math as multiply_unrolled<7>
 
 import functools
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+REPORT = os.path.join(_REPO, "TPU_VALIDATION.jsonl")
 
 import jax
 import jax.numpy as jnp
@@ -94,7 +97,7 @@ def make_fn(name, rows, tile, chain):
 
 def emit(rec):
     rec["ts"] = round(time.time(), 1)
-    with open("TPU_VALIDATION.jsonl", "a") as f:
+    with open(REPORT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
 
@@ -104,6 +107,11 @@ def main():
     log_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 15
     tile = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     rows = 1 << log_rows
+    if tile % 128 or rows % tile:
+        raise SystemExit(
+            f"tile ({tile}) must be a multiple of 128 (mul_p2d's minor-axis "
+            f"split) and divide rows ({rows}) (the pallas grid); got "
+            f"rows % tile = {rows % tile}, tile % 128 = {tile % 128}")
 
     rng = np.random.default_rng(7)
     a = rng.integers(0, 1 << 32, (rows, W), dtype=np.uint32)
@@ -111,6 +119,7 @@ def main():
     da, db = jnp.asarray(a), jnp.asarray(b)
 
     ref = None
+    ref_name = None    # which surviving variant the equality pins against
     for name in VARIANTS:
         fn = make_fn(name, rows, tile, chain)
         try:
@@ -122,12 +131,12 @@ def main():
                            + str(e).splitlines()[0][:160]})
             continue
         if ref is None:
-            ref = out
+            ref, ref_name = out, name
         eq = bool((out == ref).all())
         dt = device_time(fn, da, db)
         per_mul = dt / (chain * rows / tile)  # seconds per tile-multiply
         emit({"suite": "mul128_shape_ab", "variant": name, "chain": chain,
-              "rows": rows, "tile": tile, "equal": eq,
+              "rows": rows, "tile": tile, "equal": eq, "ref": ref_name,
               "s_per_call": round(dt, 6),
               "us_per_tile_mul": round(per_mul * 1e6, 3)})
         assert eq, name

@@ -313,6 +313,63 @@ def run_sumcheck_perf(num_vars: int = 24, comp: int = 2):
     _emit(rec)
 
 
+def run_sumcheck_phases(*num_vars_list):
+    """Per-phase sumcheck benchmark matching the reference bench harness's
+    memcpy / transpose / raw segmentation (its PhaseTimer-equivalent rows:
+    src/ulvt/sumcheck/bench/benchmark.cu:37-45, fed by the chrono
+    timestamps at sumcheck.cuh:76-124).  memcpy = host->device upload of
+    the untransposed evaluations; transpose = the on-device bit-slicing
+    pass the !DATA_IS_TRANSPOSED ctor pays; raw = one steady-state round +
+    fold at full occupancy."""
+    import jax
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.sumcheck import pallas_round as pr
+    from binius_ntt_tpu.sumcheck.prover import (
+        BITS_WIDTH, INTS_PER_VALUE, _transpose_kernel)
+    from binius_ntt_tpu.utils.benchlib import device_time, _force
+    from binius_ntt_tpu.utils.mt19937 import mt19937_stream
+
+    for num_vars in num_vars_list:
+        num_vars = int(num_vars)
+        for comp in (2, 3, 4):
+            evals = mt19937_stream(
+                7 + comp, INTS_PER_VALUE * (1 << num_vars) * comp)
+            arr = evals.reshape(comp, -1, BITS_WIDTH)
+            rows = (1 << num_vars) // 32
+
+            # memcpy: H2D upload, forced via a readback of a tiny slice
+            # (block_until_ready is unreliable through the tunnel)
+            t0 = time.time()
+            dev = jnp.asarray(arr)
+            _force(dev)
+            memcpy_s = time.time() - t0
+
+            _force(_transpose_kernel(dev))     # compile
+            transpose_s = device_time(lambda: _transpose_kernel(dev), reps=3)
+            sliced = _transpose_kernel(dev)
+            del dev
+
+            challenge = jnp.asarray(mt19937_stream(11, INTS_PER_VALUE))
+            t_round = device_time(lambda: pr.round_kernel(
+                sliced, jnp.int32(rows), num_points=comp + 1))
+            state = {"buf": sliced}
+
+            def fold_step():
+                state["buf"] = pr.fold_kernel(state["buf"], challenge,
+                                              jnp.int32(rows))
+                return state["buf"]
+
+            t_fold = device_time(fold_step)
+            _emit({"suite": "sumcheck128_phases", "num_vars": num_vars,
+                   "composition": comp,
+                   "memcpy_ms": round(memcpy_s * 1e3, 2),
+                   "transpose_ms": round(transpose_s * 1e3, 4),
+                   "raw_round_ms": round(t_round * 1e3, 4),
+                   "raw_fold_ms": round(t_fold * 1e3, 4)})
+            del sliced, state
+
+
 def run_sumcheck(*num_vars_list):
     """Full protocol with verifier-oracle round checks on TPU.
 
@@ -538,6 +595,8 @@ def main():
         run_rates(*args)
     elif which == "sumcheck_perf":
         run_sumcheck_perf(*args)
+    elif which == "sumcheck_phases":
+        run_sumcheck_phases(*args)
     elif which == "sumcheck":
         run_sumcheck(*args)
     elif which == "prime":
