@@ -7,10 +7,11 @@ cd "$(dirname "$0")/.."
 log=round4_queue.log
 {
   echo "=== queue start $(date -u +%FT%TZ)"
+  # rates re-pinned 2026-08-18 post-round-3 kernels (defaults unchanged
+  # since — 3664f24 only added env-gated knobs), so that step is dropped.
   timeout 3600 python tools/tpu_validation.py ntt128_golden 27 27 0
   timeout 5400 python tools/tpu_validation.py ntt128_golden 28 28 0
   timeout 3600 python tools/tpu_validation.py ntt128_golden 25 26 2
   timeout 5400 python tools/tpu_validation.py ntt128_golden 27 27 2
-  timeout 1800 python tools/tpu_validation.py rates
   echo "=== queue done $(date -u +%FT%TZ)"
 } >> "$log" 2>&1
