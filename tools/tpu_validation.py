@@ -383,6 +383,15 @@ def run_sumcheck(*num_vars_list):
     for num_vars in num_vars_list:
         num_vars = int(num_vars)
         for comp in (2, 3, 4):
+            # single-chip HBM gate: the protocol holds the full (C, B, 128)
+            # buffer for its whole life; past ~12 GB the config is the
+            # sharded provers' territory (SCALING.md §4 — the reference
+            # RECORDED this failure at 28 vars, result.txt tail)
+            if (1 << num_vars) * 16 * comp > 12 * 10**9:
+                _emit({"suite": "sumcheck128", "num_vars": num_vars,
+                       "composition": comp, "skipped": "exceeds_hbm",
+                       "bytes": (1 << num_vars) * 16 * comp})
+                continue
             evals = mt19937_stream(
                 41 + num_vars + comp, INTS_PER_VALUE * (1 << num_vars) * comp)
             t0 = time.time()
