@@ -30,7 +30,10 @@ def main():
             key = (r["suite"],) + tuple(
                 r.get(k) for k in ("log_h", "log_len", "log_n", "rate",
                                    "num_vars", "composition", "op",
-                                   "target", "variant", "phase"))
+                                   "target", "variant", "phase",
+                                   # knob_ab: one row per knob config
+                                   "KB", "KU", "PT", "unroll_hi",
+                                   "probe_concat"))
             rows[key] = r          # latest wins
 
     suites = OrderedDict()
@@ -106,13 +109,44 @@ def main():
                 per = r.get("mul_per_s", r.get("inv_per_s"))
                 out.append(f"| {r['op']} | {r['seconds']} | {per:.3e} |")
         elif suite == "sumcheck128":
-            out.append("| num_vars | composition | pass | protocol_s "
-                       "(compile-dominated) |")
+            out.append("| num_vars | composition | pass | protocol_s |")
             out.append("|---|---|---|---|")
             for r in rs:
+                if "skipped" in r:
+                    out.append(f"| {r['num_vars']} | {r['composition']} | "
+                               f"skipped ({r['skipped']}) | — |")
+                    continue
                 out.append(f"| {r['num_vars']} | {r['composition']} | "
                            f"{'PASS' if r['pass'] else '**FAIL**'} | "
                            f"{r['protocol_s']} |")
+        elif suite == "sumcheck128_phases":
+            out.append("| num_vars | composition | memcpy_ms | transpose_ms "
+                       "| raw_round_ms | raw_fold_ms |")
+            out.append("|---|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['num_vars']} | {r['composition']} | "
+                           f"{r['memcpy_ms']} | {r['transpose_ms']} | "
+                           f"{r['raw_round_ms']} | {r['raw_fold_ms']} |")
+        elif suite == "knob_ab":
+            out.append("| log_h | KB | KU | PT | unroll_hi | probe | "
+                       "golden20 | seconds | compile_s |")
+            out.append("|---|---|---|---|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['log_h']} | {r['KB']} | {r['KU']} | "
+                           f"{r['PT']} | {r['unroll_hi']} | "
+                           f"{'Y' if r['probe_concat'] else ''} | "
+                           f"{'PASS' if r['golden20_pass'] else '**FAIL**'} | "
+                           f"{r['seconds']} | {r['compile_s']} |")
+        elif suite == "sharded_capacity":
+            out.append("| num_vars | composition | devices | pass | "
+                       "per_shard_bytes | round0_s | fold_s |")
+            out.append("|---|---|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['num_vars']} | {r['composition']} | "
+                           f"{r['devices']} | "
+                           f"{'PASS' if r['pass'] else '**FAIL**'} | "
+                           f"{r['per_shard_bytes']} | {r['round0_s']} | "
+                           f"{r['fold_s']} |")
         else:
             for r in rs:
                 out.append(f"- `{json.dumps(r)}`")
