@@ -28,6 +28,8 @@ __all__ = [
     "transpose32",
     "bitslice_transpose",
     "bitslice_untranspose",
+    "bitslice_transpose_streamed",
+    "bitslice_untranspose_streamed",
     "repeat_value_bitsliced",
 ]
 
@@ -90,6 +92,56 @@ def bitslice_untranspose(arr):
     # permutation: new[ipv * (i % 32) + i // 32] = tmp[i]
     a = xp.swapaxes(a, -1, -2)  # (..., 32, ipv)
     return a.reshape(lead + (w,))
+
+
+def _pick_chunk(rows: int, chunk_rows: int) -> int:
+    """Largest divisor of ``rows`` not exceeding ``chunk_rows`` (callers
+    pass power-of-two row counts, so this is one shift loop)."""
+    chunk = min(chunk_rows, rows)
+    while rows % chunk:
+        chunk //= 2
+    return max(chunk, 1)
+
+
+def bitslice_transpose_streamed(x, chunk_rows: int = 1 << 18):
+    """Host (rows, W) unbitsliced -> DEVICE (rows, W) bitsliced, chunked.
+
+    Whole-array on-device transposes allocate HLO temps ~4x the array
+    (measured 16 GB at a 4 GB array), and the host numpy fallback is
+    minutes of single-core work at capacity sizes (the 2^28 golden run
+    spent ~50 min in it).  Each 32-element batch row transposes
+    independently, so stream: upload a chunk, transpose on device,
+    concatenate.  Peak device footprint ~2x the array.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = np.ascontiguousarray(x, dtype=np.uint32)
+    rows = x.shape[0]
+    fn = jax.jit(bitslice_transpose)
+    if rows <= chunk_rows:
+        return fn(jnp.asarray(x))
+    chunk = _pick_chunk(rows, chunk_rows)
+    parts = [fn(jnp.asarray(x[i:i + chunk]))
+             for i in range(0, rows, chunk)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def bitslice_untranspose_streamed(dev, chunk_rows: int = 1 << 18):
+    """DEVICE (rows, W) bitsliced -> HOST (rows, W) unbitsliced, chunked
+    (see bitslice_transpose_streamed — same rationale, reverse direction)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = dev.shape[0]
+    fn = jax.jit(bitslice_untranspose)
+    if rows <= chunk_rows:
+        return np.asarray(fn(dev))
+    chunk = _pick_chunk(rows, chunk_rows)
+    out = np.empty((rows, dev.shape[-1]), dtype=np.uint32)
+    for i in range(0, rows, chunk):
+        out[i:i + chunk] = np.asarray(fn(jnp.asarray(dev[i:i + chunk])))
+    return out
 
 
 def repeat_value_bitsliced(value, bits_width: int):

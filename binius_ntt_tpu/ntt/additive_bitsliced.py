@@ -33,7 +33,10 @@ import numpy as np
 
 from ..fields import bitsliced as bf
 from ..fields import tower_scalar as ts
-from ..layout.bitslicing import bitslice_transpose, bitslice_untranspose
+from ..layout.bitslicing import (bitslice_transpose,
+                                 bitslice_transpose_streamed,
+                                 bitslice_untranspose,
+                                 bitslice_untranspose_streamed)
 from .additive import precompute_subspace_evals
 
 __all__ = ["AdditiveNTT128"]
@@ -165,9 +168,13 @@ class AdditiveNTT128:
                 raise ValueError(
                     f"apply: input shape {xh.shape} != (2^log_h * {IPV},) = "
                     f"({n * IPV},)")
-            sliced = jnp.asarray(bitslice_transpose(xh.reshape(n // 32, W)))
-            out = np.asarray(self.apply_sliced(sliced))
-            return bitslice_untranspose(out).reshape(-1)
+            # stream the layout transforms through the device in chunks:
+            # whole-array device transposes blow HLO temps ~4x past HBM,
+            # and host numpy takes ~50 min at 2^28 on one core
+            sliced = bitslice_transpose_streamed(xh.reshape(n // 32, W))
+            out = self.apply_sliced(sliced)
+            del sliced
+            return bitslice_untranspose_streamed(out).reshape(-1)
         x = jnp.asarray(x_words, dtype=jnp.uint32)
         if x.shape != (n * IPV,):
             raise ValueError(

@@ -75,3 +75,28 @@ def test_jax_matches_numpy():
     assert (s_np == s_jx).all()
     u_jx = np.asarray(bitslice_untranspose(jnp.asarray(s_np)))
     assert (u_jx == a).all()
+
+
+def test_streamed_matches_plain():
+    """Chunk-streamed device transposes == whole-array transforms.
+
+    The streamed forms exist for capacity sizes (2^26-2^29 outputs) where
+    whole-array device transposes blow HLO temps past HBM and the numpy
+    fallback costs ~50 min of single-core host time (the 2^28 golden run);
+    chunking is valid because every 32-element batch row transposes
+    independently (bitslicing.cuh:32-64 operates per batch)."""
+    import jax.numpy as jnp
+
+    from binius_ntt_tpu.layout.bitslicing import (
+        bitslice_transpose_streamed, bitslice_untranspose_streamed)
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 2**32, size=(1 << 9, 128), dtype=np.uint32)
+    want = bitslice_transpose(a)
+    # chunked (chunk_rows < rows) and single-shot paths
+    for chunk in (32, 1 << 20):
+        got = np.asarray(bitslice_transpose_streamed(a, chunk_rows=chunk))
+        assert (got == want).all()
+        back = bitslice_untranspose_streamed(jnp.asarray(want),
+                                             chunk_rows=chunk)
+        assert (back == a).all()

@@ -174,8 +174,11 @@ def run_ntt128(lo: int, hi: int):
         if (1 << log_h) * 16 * 4 > 14 * 10**9:
             # capacity sizes: the on-device transpose's HLO temps run
             # ~4x the array (measured 16 GB at 2^28's 4 GB array) —
-            # bitslice on host instead (one-time prep)
-            sliced = jnp.asarray(bitslice_transpose(xh))
+            # stream it through the device in chunks (one-time prep)
+            from binius_ntt_tpu.layout.bitslicing import (
+                bitslice_transpose_streamed)
+
+            sliced = bitslice_transpose_streamed(xh)
         else:
             sliced = jax.jit(bitslice_transpose)(jnp.asarray(xh))
         del xh
