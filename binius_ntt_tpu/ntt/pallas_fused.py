@@ -64,9 +64,12 @@ PT = int(os.environ.get("BNTT_PT", "8"))
 # unrolled bodies ran 104 ms but cost ~1000 s of compile; the remaining
 # ~12 ms lives in the rolled hi-loop's scheduling, which full unroll of
 # the CURRENT body does not recover.)
-# BNTT_UNROLL_HI: 0 = rolled (default), -1 = full, n > 1 = partial
-# (n multiply instantiations per loop body — the round-3 A/B only tried
-# all-or-nothing; partial unroll is the round-4 experiment surface).
+# BNTT_UNROLL_HI: 0 = rolled (default), -1 = full.  Round-4 A/B verdict
+# (TPU_VALIDATION suite knob_ab): partial values are REJECTED by Mosaic
+# ("Only unroll=num_steps and unroll=1 supported"), full unroll recovers
+# nothing (each stage consumes the whole previous tile — no inter-stage
+# ILP), and the Pease write-back itself is free (probe: 117.1 vs
+# 116.0 ms).  Rolled is the measured optimum at flat compile.
 UNROLL_HI = int(os.environ.get("BNTT_UNROLL_HI", "0"))
 UNROLL_LOW = True     # lane/low-stage loop (5 steps, bottom group only)
 
