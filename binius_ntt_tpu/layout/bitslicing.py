@@ -22,6 +22,8 @@ the idiomatic JAX formulation of the reference's in-place CUDA kernels
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 __all__ = [
@@ -29,6 +31,7 @@ __all__ = [
     "bitslice_transpose",
     "bitslice_untranspose",
     "bitslice_transpose_streamed",
+    "bitslice_transpose_streamed_cols",
     "bitslice_untranspose_streamed",
     "repeat_value_bitsliced",
 ]
@@ -142,6 +145,36 @@ def bitslice_untranspose_streamed(dev, chunk_rows: int = 1 << 18):
     for i in range(0, rows, chunk):
         out[i:i + chunk] = np.asarray(fn(jnp.asarray(dev[i:i + chunk])))
     return out
+
+
+def bitslice_transpose_streamed_cols(cols, chunk_rows: int = 1 << 18):
+    """Host (C, rows, W) unbitsliced -> DEVICE (C, rows, W) bitsliced with
+    peak device footprint = the output buffer + one chunk.
+
+    The concatenate in bitslice_transpose_streamed peaks at 2x the array —
+    at the 2^28-evaluation sumcheck configs (8.6 GB at C=2) that blows the
+    15.75 GB v5e HBM (the ctor's whole-array transpose did exactly that).
+    Here transposed chunks are written into a donated buffer in place via
+    dynamic_update_slice, so the 2x peak never forms.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cols = np.ascontiguousarray(cols, dtype=np.uint32)
+    c, rows, w = cols.shape
+    chunk = _pick_chunk(rows, chunk_rows)
+    tfn = jax.jit(bitslice_transpose)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _write(buf, part, ci, ri):
+        return jax.lax.dynamic_update_slice(buf, part[None], (ci, ri, 0))
+
+    buf = jnp.zeros((c, rows, w), dtype=jnp.uint32)
+    for ci in range(c):
+        for ri in range(0, rows, chunk):
+            part = tfn(jnp.asarray(cols[ci, ri:ri + chunk]))
+            buf = _write(buf, part, jnp.int32(ci), jnp.int32(ri))
+    return buf
 
 
 def repeat_value_bitsliced(value, bits_width: int):

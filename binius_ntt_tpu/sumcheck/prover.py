@@ -215,11 +215,27 @@ class Sumcheck:
         self.round = 0
 
         b = (1 << num_vars) // 32
-        evals = np.ascontiguousarray(np.asarray(evals, dtype=np.uint32))
-        assert evals.size == INTS_PER_VALUE * (1 << num_vars) * composition_size
-        arr = jnp.asarray(evals.reshape(composition_size, b, BITS_WIDTH))
-        if not data_is_transposed:
-            arr = _transpose_kernel(arr)
+        if isinstance(evals, jnp.ndarray) and evals.ndim == 3:
+            # already-device-resident bit-sliced columns (capacity sizes:
+            # prepared chunk-streamed via layout.bitslicing.
+            # bitslice_transpose_streamed_cols — the whole-array device
+            # transpose peaks at >= 2x the buffer and OOMs 2^28 configs)
+            if not data_is_transposed:
+                raise ValueError(
+                    "device-resident evals must be pre-bit-sliced "
+                    "(data_is_transposed=True)")
+            if evals.shape != (composition_size, b, BITS_WIDTH):
+                raise ValueError(
+                    f"device evals shape {evals.shape} != "
+                    f"({composition_size}, {b}, {BITS_WIDTH})")
+            arr = evals
+        else:
+            evals = np.ascontiguousarray(np.asarray(evals, dtype=np.uint32))
+            assert evals.size == (
+                INTS_PER_VALUE * (1 << num_vars) * composition_size)
+            arr = jnp.asarray(evals.reshape(composition_size, b, BITS_WIDTH))
+            if not data_is_transposed:
+                arr = _transpose_kernel(arr)
         self._device_evals = arr            # (C, B', 128) while B' >= 2
         self._b0 = b                        # first fold shrinks B -> B/2
         self._host_evals = None             # (C, 128) once 32 evals remain

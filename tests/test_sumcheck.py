@@ -125,3 +125,33 @@ def test_small_buffer_avoids_pallas_path(monkeypatch):
     s.move_to_next_round(np.arange(4, dtype=np.uint32))
     s.round_messages()
     assert not calls
+
+
+def test_device_resident_presliced_ctor_matches():
+    """Capacity-size entry: a device-resident pre-bit-sliced (C, B, 128)
+    array (prepared via bitslice_transpose_streamed_cols, which keeps the
+    device peak at buffer+chunk instead of the whole-array transpose's
+    >=2x) must drive the identical protocol."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from binius_ntt_tpu.layout.bitslicing import (
+        bitslice_transpose_streamed_cols)
+
+    nv, comp = 8, 2
+    evals = mt19937_stream(123, INTS_PER_VALUE * (1 << nv) * comp)
+    dev = bitslice_transpose_streamed_cols(
+        evals.reshape(comp, -1, 128), chunk_rows=4)
+    a = Sumcheck(evals, comp, nv)
+    b = Sumcheck(dev, comp, nv, data_is_transposed=True)
+    rng = np.random.default_rng(5)
+    for _ in range(nv):
+        ta, pa = a.round_messages()
+        tb, pb = b.round_messages()
+        assert np.array_equal(np.asarray(ta), np.asarray(tb))
+        for x, y in zip(pa, pb):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+        ch = rng.integers(0, 2**32, size=4, dtype=np.uint32)
+        a.move_to_next_round(ch)
+        b.move_to_next_round(ch)
+    with pytest.raises(ValueError):
+        Sumcheck(dev, comp, nv)                      # not marked transposed

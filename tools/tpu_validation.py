@@ -386,19 +386,32 @@ def run_sumcheck(*num_vars_list):
     for num_vars in num_vars_list:
         num_vars = int(num_vars)
         for comp in (2, 3, 4):
+            total_bytes = (1 << num_vars) * 16 * comp
             # single-chip HBM gate: the protocol holds the full (C, B, 128)
             # buffer for its whole life; past ~12 GB the config is the
             # sharded provers' territory (SCALING.md §4 — the reference
             # RECORDED this failure at 28 vars, result.txt tail)
-            if (1 << num_vars) * 16 * comp > 12 * 10**9:
+            if total_bytes > 12 * 10**9:
                 _emit({"suite": "sumcheck128", "num_vars": num_vars,
                        "composition": comp, "skipped": "exceeds_hbm",
-                       "bytes": (1 << num_vars) * 16 * comp})
+                       "bytes": total_bytes})
                 continue
             evals = mt19937_stream(
                 41 + num_vars + comp, INTS_PER_VALUE * (1 << num_vars) * comp)
             t0 = time.time()
-            s = Sumcheck(evals, comp, num_vars)
+            if total_bytes > 6 * 10**9:
+                # fits resident, but the ctor's whole-array device
+                # transpose peaks >= 2x the buffer — stream it instead
+                from binius_ntt_tpu.layout.bitslicing import (
+                    bitslice_transpose_streamed_cols)
+
+                sliced = bitslice_transpose_streamed_cols(
+                    evals.reshape(comp, -1, 128))
+                s = Sumcheck(sliced, comp, num_vars,
+                             data_is_transposed=True)
+                del sliced
+            else:
+                s = Sumcheck(evals, comp, num_vars)
             setup_s = time.time() - t0
             rng = np.random.default_rng(7)
             claim = None
