@@ -98,12 +98,58 @@ def bitslice_untranspose(arr):
 
 
 def _pick_chunk(rows: int, chunk_rows: int) -> int:
-    """Largest divisor of ``rows`` not exceeding ``chunk_rows`` (callers
-    pass power-of-two row counts, so this is one shift loop)."""
+    """Largest divisor of ``rows`` not exceeding ``chunk_rows``.
+
+    Callers pass power-of-two row counts (every NTT/sumcheck buffer is one),
+    where this is a short shift loop ending at a large chunk.  A
+    non-power-of-two odd row count would legally degrade to chunk=1 (one
+    device round-trip per row) — assert instead so a misuse fails loudly."""
     chunk = min(chunk_rows, rows)
     while rows % chunk:
         chunk //= 2
-    return max(chunk, 1)
+    chunk = max(chunk, 1)
+    assert rows <= chunk_rows or chunk >= chunk_rows // 2, (
+        f"streamed transpose needs power-of-two rows, got {rows}")
+    return chunk
+
+
+# Jitted wrappers hoisted to module scope: a fresh jax.jit(fn) per call
+# would re-trace (and re-compile through the tunnel) on every streamed
+# invocation.  Built lazily so importing this module never imports jax.
+@functools.lru_cache(maxsize=None)
+def _jit_transpose():
+    import jax
+
+    return jax.jit(bitslice_transpose)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_untranspose():
+    import jax
+
+    return jax.jit(bitslice_untranspose)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_write_rows():
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _write(buf, part, ri):
+        return jax.lax.dynamic_update_slice(buf, part, (ri, 0))
+
+    return _write
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_write_cols():
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _write(buf, part, ci, ri):
+        return jax.lax.dynamic_update_slice(buf, part[None], (ci, ri, 0))
+
+    return _write
 
 
 def bitslice_transpose_streamed(x, chunk_rows: int = 1 << 18):
@@ -113,31 +159,34 @@ def bitslice_transpose_streamed(x, chunk_rows: int = 1 << 18):
     (measured 16 GB at a 4 GB array), and the host numpy fallback is
     minutes of single-core work at capacity sizes (the 2^28 golden run
     spent ~50 min in it).  Each 32-element batch row transposes
-    independently, so stream: upload a chunk, transpose on device,
-    concatenate.  Peak device footprint ~2x the array.
+    independently, so stream: upload a chunk, transpose on device, write
+    into a donated output buffer via dynamic_update_slice.  Peak device
+    footprint = the output buffer + one chunk (the previous concatenate
+    peaked at 2x the array, which OOMs a 2^29 r0 8.6 GB input on a
+    15.75 GB chip).
     """
-    import jax
     import jax.numpy as jnp
 
     x = np.ascontiguousarray(x, dtype=np.uint32)
     rows = x.shape[0]
-    fn = jax.jit(bitslice_transpose)
+    fn = _jit_transpose()
     if rows <= chunk_rows:
         return fn(jnp.asarray(x))
     chunk = _pick_chunk(rows, chunk_rows)
-    parts = [fn(jnp.asarray(x[i:i + chunk]))
-             for i in range(0, rows, chunk)]
-    return jnp.concatenate(parts, axis=0)
+    write = _jit_write_rows()
+    buf = jnp.zeros((rows, x.shape[-1]), dtype=jnp.uint32)
+    for i in range(0, rows, chunk):
+        buf = write(buf, fn(jnp.asarray(x[i:i + chunk])), jnp.int32(i))
+    return buf
 
 
 def bitslice_untranspose_streamed(dev, chunk_rows: int = 1 << 18):
     """DEVICE (rows, W) bitsliced -> HOST (rows, W) unbitsliced, chunked
     (see bitslice_transpose_streamed — same rationale, reverse direction)."""
-    import jax
     import jax.numpy as jnp
 
     rows = dev.shape[0]
-    fn = jax.jit(bitslice_untranspose)
+    fn = _jit_untranspose()
     if rows <= chunk_rows:
         return np.asarray(fn(dev))
     chunk = _pick_chunk(rows, chunk_rows)
@@ -151,29 +200,23 @@ def bitslice_transpose_streamed_cols(cols, chunk_rows: int = 1 << 18):
     """Host (C, rows, W) unbitsliced -> DEVICE (C, rows, W) bitsliced with
     peak device footprint = the output buffer + one chunk.
 
-    The concatenate in bitslice_transpose_streamed peaks at 2x the array —
-    at the 2^28-evaluation sumcheck configs (8.6 GB at C=2) that blows the
-    15.75 GB v5e HBM (the ctor's whole-array transpose did exactly that).
-    Here transposed chunks are written into a donated buffer in place via
-    dynamic_update_slice, so the 2x peak never forms.
+    Same donated-buffer pattern as bitslice_transpose_streamed, with a
+    column axis: the 2^28-evaluation sumcheck ctor (8.6 GB at C=2) must
+    never form a 2x transient on the 15.75 GB v5e.
     """
-    import jax
     import jax.numpy as jnp
 
     cols = np.ascontiguousarray(cols, dtype=np.uint32)
     c, rows, w = cols.shape
     chunk = _pick_chunk(rows, chunk_rows)
-    tfn = jax.jit(bitslice_transpose)
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def _write(buf, part, ci, ri):
-        return jax.lax.dynamic_update_slice(buf, part[None], (ci, ri, 0))
+    tfn = _jit_transpose()
+    write = _jit_write_cols()
 
     buf = jnp.zeros((c, rows, w), dtype=jnp.uint32)
     for ci in range(c):
         for ri in range(0, rows, chunk):
             part = tfn(jnp.asarray(cols[ci, ri:ri + chunk]))
-            buf = _write(buf, part, jnp.int32(ci), jnp.int32(ri))
+            buf = write(buf, part, jnp.int32(ci), jnp.int32(ri))
     return buf
 
 

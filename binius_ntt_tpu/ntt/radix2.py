@@ -19,6 +19,7 @@ bit-reversal permutation is a precomputed gather.
 from __future__ import annotations
 
 from functools import partial
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,68 @@ import numpy as np
 
 from ..fields import baby_bear as bb
 
-__all__ = ["NTTRadix2", "bit_reverse_indices"]
+__all__ = ["NTTRadix2", "FieldOps", "BB31_OPS", "make_modp_ops",
+           "bit_reverse_indices"]
+
+
+class FieldOps(NamedTuple):
+    """Field-op bundle making NTTRadix2 generic over any <= 32-bit prime
+    field — the analogue of the reference's ``NTT<E>`` template parameter
+    (gpuntt.cuh:126-131, ``sizeof(E) <= 4``).  Device ops act on the
+    field's *internal* representation (Montgomery form for BB31);
+    encode/decode convert canonical uint32 <-> internal on device."""
+
+    p: int                        # field modulus
+    add: Callable                 # device: internal x internal -> internal
+    sub: Callable
+    mul: Callable
+    encode: Callable              # device: canonical -> internal
+    decode: Callable              # device: internal -> canonical
+    encode_host: Callable         # numpy: canonical -> internal
+    pow_host: Callable            # python ints: x^n mod p
+
+
+BB31_OPS = FieldOps(p=bb.P, add=bb.add, sub=bb.sub, mul=bb.mont_mul,
+                    encode=bb.encode, decode=bb.decode,
+                    encode_host=bb.encode_host, pow_host=bb.pow_host)
+
+
+def make_modp_ops(p: int) -> FieldOps:
+    """Plain modular FieldOps for a small odd prime p < 2^16 (no
+    Montgomery form; internal representation = canonical residues; the
+    p < 2^16 bound keeps every product inside uint32 — jnp.uint64 silently
+    downcasts without the x64 flag, so a 64-bit reduce would be WRONG for
+    large p).  Instantiates the radix-2 NTT over toy 2-adic fields in
+    tests, matching the reference template's genericity — BB31 remains
+    the only tuned/fused configuration."""
+    assert 2 < p < (1 << 16), "make_modp_ops is for toy primes < 2^16"
+    pj = np.uint32(p)
+
+    def add(a, b):
+        s = a + b
+        return jnp.where(s >= pj, s - pj, s)
+
+    def sub(a, b):
+        return jnp.where(a < b, a - b + pj, a - b)
+
+    def mul(a, b):
+        return (a * b) % pj            # both < 2^16: product fits uint32
+
+    def encode(x):
+        return x % pj               # same wrap semantics as BB31's ctor
+
+    def decode(x):
+        return x
+
+    def pow_host(x: int, n: int) -> int:
+        return pow(int(x), int(n), p)
+
+    def encode_host(v):
+        return np.asarray(v, dtype=np.uint32) % pj
+
+    return FieldOps(p=p, add=add, sub=sub, mul=mul, encode=encode,
+                    decode=decode, encode_host=encode_host,
+                    pow_host=pow_host)
 
 
 def bit_reverse_indices(log_n: int) -> np.ndarray:
@@ -50,10 +112,19 @@ def _geometric_powers(base: int, count: int, p: int) -> np.ndarray:
 
 
 class NTTRadix2:
-    """Radix-2 NTT over BB31 with generator `g` of order 2^log_group_order."""
+    """Radix-2 NTT over a 32-bit prime field (BB31 by default) with
+    generator `g` of order 2^log_group_order.
+
+    ``field_ops`` injects the field (cf. the reference's ``NTT<E>``
+    template, gpuntt.cuh:126-131); the fused Pallas path is BB31-specific
+    (Montgomery twiddle tables) and engages only for the default field —
+    matching the reference, which only ever instantiates BB31
+    (ntt/tests/test_ntt.cu:126-152).
+    """
 
     def __init__(self, generator: int, log_group_order: int, log_n: int,
-                 use_fused: bool | None = None):
+                 use_fused: bool | None = None,
+                 field_ops: FieldOps | None = None):
         # validation mirrors NTTConfRad2 (nttconf.cuh:32-39)
         if not 1 <= log_n <= 27:
             raise ValueError("log_n must be in [1, 27]")
@@ -61,20 +132,22 @@ class NTTRadix2:
             raise ValueError("log_group_order must be >= log_n")
         self.log_n = log_n
         n = 1 << log_n
+        ops = BB31_OPS if field_ops is None else field_ops
+        self._ops = ops
 
-        omega = bb.pow_host(generator, 1 << (log_group_order - log_n))
-        tw = _geometric_powers(omega, n // 2, bb.P)
+        omega = ops.pow_host(generator, 1 << (log_group_order - log_n))
+        tw = _geometric_powers(omega, n // 2, ops.p)
         # bit-reverse with idx_size = log_n - 1 (gpuntt.cuh:141-142)
         if log_n > 1:
             tw = tw[bit_reverse_indices(log_n - 1)]
-        tw_mont_host = bb.encode_host(tw)
-        self._apply = partial(_radix2_apply, log_n=log_n)
+        tw_mont_host = ops.encode_host(tw)
+        self._apply = partial(_radix2_apply, log_n=log_n, ops=ops)
         # fused stage-group Pallas path (ntt/pallas_fused_bb31.py): whole
         # DIF ladder in ~2 HBM passes with size-independent compile cost
         if use_fused is None:
             use_fused = (log_n >= 7
                          and jax.default_backend() == "tpu")
-        self.use_fused = use_fused and log_n >= 7
+        self.use_fused = use_fused and log_n >= 7 and ops is BB31_OPS
         # host-side copy for table builders/tests; the flat device twiddle
         # and gather tables are only uploaded on the per-stage path (the
         # fused path streams its own tables — at 2^27 the unused flat
@@ -124,7 +197,8 @@ class NTTRadix2:
         if not per_stage_jit:
             return self._apply(x, self._tw_mont, self._bitrev,
                                skip_bitrev=input_bit_reversed)
-        x = _encode_stage(x)
+        ops = self._ops
+        x = _encode_stage(x, ops=ops)
         if not input_bit_reversed:
             x = x[self._bitrev]
         # small-span stages run on the transposed (128, rows) view so the
@@ -132,11 +206,13 @@ class NTTRadix2:
         n_small = min(7, self.log_n)
         x = _transpose_in(x)
         for s in range(n_small):
-            x = _radix2_stage_small(x, self._tw_mont, s=s, log_n=self.log_n)
+            x = _radix2_stage_small(x, self._tw_mont, s=s, log_n=self.log_n,
+                                    ops=ops)
         x = _transpose_out(x)
         for s in range(n_small, self.log_n):
-            x = _radix2_stage(x, self._tw_mont, s=s, log_n=self.log_n)
-        return _decode_stage(x)
+            x = _radix2_stage(x, self._tw_mont, s=s, log_n=self.log_n,
+                              ops=ops)
+        return _decode_stage(x, ops=ops)
 
 
 @partial(jax.jit, static_argnames=("log_n",))
@@ -154,18 +230,14 @@ def _bitrev_split(x, rev_a, rev_b, *, log_n: int):
     return y.T[rev_b].reshape(1 << log_n)
 
 
-@jax.jit
-def _encode_stage(x):
-    from ..fields import baby_bear as bb
-
-    return bb.encode(x)
+@partial(jax.jit, static_argnames=("ops",))
+def _encode_stage(x, *, ops: FieldOps = BB31_OPS):
+    return ops.encode(x)
 
 
-@jax.jit
-def _decode_stage(x):
-    from ..fields import baby_bear as bb
-
-    return bb.decode(x)
+@partial(jax.jit, static_argnames=("ops",))
+def _decode_stage(x, *, ops: FieldOps = BB31_OPS):
+    return ops.decode(x)
 
 
 @jax.jit
@@ -178,27 +250,30 @@ def _transpose_out(xt):
     return xt.T.reshape(-1)
 
 
-def _radix2_stage_body(x, tw_mont, *, s: int, log_n: int):
-    """One DIF stage on the flat Montgomery array — shared by the
-    monolithic and per-stage-jit paths."""
+def _radix2_stage_body(x, tw_mont, *, s: int, log_n: int,
+                       ops: FieldOps = BB31_OPS):
+    """One DIF stage on the flat internal-representation array — shared by
+    the monolithic and per-stage-jit paths."""
     n = 1 << log_n
     nb = n >> (s + 1)
     v3 = x.reshape(nb, 2, 1 << s)
     u, v = v3[:, 0, :], v3[:, 1, :]
     w = tw_mont[:nb][:, None]
-    big_u = bb.add(u, v)
-    big_v = bb.mont_mul(bb.sub(u, v), w)
+    big_u = ops.add(u, v)
+    big_v = ops.mul(ops.sub(u, v), w)
     return jnp.stack([big_u, big_v], axis=1).reshape(n)
 
 
-@partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
-def _radix2_stage(x, tw_mont, *, s: int, log_n: int):
+@partial(jax.jit, static_argnames=("s", "log_n", "ops"), donate_argnums=(0,))
+def _radix2_stage(x, tw_mont, *, s: int, log_n: int,
+                  ops: FieldOps = BB31_OPS):
     """One large-span DIF stage (2^s >= 128) on the flat array."""
-    return _radix2_stage_body(x, tw_mont, s=s, log_n=log_n)
+    return _radix2_stage_body(x, tw_mont, s=s, log_n=log_n, ops=ops)
 
 
-@partial(jax.jit, static_argnames=("s", "log_n"), donate_argnums=(0,))
-def _radix2_stage_small(xt, tw_mont, *, s: int, log_n: int):
+@partial(jax.jit, static_argnames=("s", "log_n", "ops"), donate_argnums=(0,))
+def _radix2_stage_small(xt, tw_mont, *, s: int, log_n: int,
+                        ops: FieldOps = BB31_OPS):
     """One small-span stage (2^s < 128) on the transposed (128, rows) view.
 
     Element e = 128*r + j lives at xt[j, r]; pairs differ in bit s of j, so
@@ -214,17 +289,18 @@ def _radix2_stage_small(xt, tw_mont, *, s: int, log_n: int):
     u, v = v4[:, 0], v4[:, 1]
     # block index of e is r*m + jb  ->  w[jb, r] = tw[r*m + jb]
     w = tw_mont[:nb].reshape(rows, m).T[:, None, :]
-    big_u = bb.add(u, v)
-    big_v = bb.mont_mul(bb.sub(u, v), w)
+    big_u = ops.add(u, v)
+    big_v = ops.mul(ops.sub(u, v), w)
     return jnp.stack([big_u, big_v], axis=1).reshape(128, rows)
 
 
-@partial(jax.jit, static_argnames=("log_n", "skip_bitrev"))
-def _radix2_apply(x, tw_mont, bitrev, *, log_n: int, skip_bitrev: bool = False):
+@partial(jax.jit, static_argnames=("log_n", "skip_bitrev", "ops"))
+def _radix2_apply(x, tw_mont, bitrev, *, log_n: int,
+                  skip_bitrev: bool = False, ops: FieldOps = BB31_OPS):
     n = 1 << log_n
-    x = bb.encode(x)  # BB31(uint32) ctor semantics: wrap + Montgomery encode
+    x = ops.encode(x)  # BB31(uint32) ctor semantics: wrap + encode
     if not skip_bitrev:
         x = x[bitrev]
     for s in range(log_n):
-        x = _radix2_stage_body(x, tw_mont, s=s, log_n=log_n)
-    return bb.decode(x)
+        x = _radix2_stage_body(x, tw_mont, s=s, log_n=log_n, ops=ops)
+    return ops.decode(x)

@@ -228,6 +228,11 @@ class Sumcheck:
                 raise ValueError(
                     f"device evals shape {evals.shape} != "
                     f"({composition_size}, {b}, {BITS_WIDTH})")
+            if evals.dtype != jnp.uint32:
+                # the host path coerces; a device-resident int32 would pass
+                # the shape check and silently corrupt the shift/XOR math
+                raise ValueError(
+                    f"device evals dtype {evals.dtype} != uint32")
             arr = evals
         else:
             evals = np.ascontiguousarray(np.asarray(evals, dtype=np.uint32))

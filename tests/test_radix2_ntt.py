@@ -61,6 +61,43 @@ def test_validation():
         NTTRadix2(137, 5, 6)
 
 
+def test_field_ops_injection_toy_prime():
+    """NTTRadix2 over a non-BB31 field (the reference's NTT<E> genericity,
+    gpuntt.cuh:126-131): F_257, generator 3 of the full 2^8 group."""
+    from binius_ntt_tpu.ntt.radix2 import make_modp_ops
+
+    p = 257
+    ops = make_modp_ops(p)
+    log_n = 6
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, p, size=1 << log_n, dtype=np.uint32)
+    fwd = NTTRadix2(3, 8, log_n, field_ops=ops)
+    inv = NTTRadix2(pow(3, -1, p), 8, log_n, field_ops=ops)
+    assert not fwd.use_fused          # fused path is BB31-only
+    out = np.asarray(inv.apply(np.asarray(fwd.apply(x))))
+    final = (out.astype(np.uint64) * pow(1 << log_n, -1, p)) % p
+    assert (final == x).all()
+    # injected path also exercises the per-stage-jit pipeline
+    out2 = np.asarray(fwd.apply(x, per_stage_jit=False))
+    assert (np.asarray(fwd.apply(x)) == out2).all()
+
+
+def test_field_ops_injection_reproduces_bb31_golden():
+    """A DISTINCT FieldOps instance carrying the BB31 functions must
+    reproduce the reference's committed digests — pins the injection seam
+    itself (the non-default-ops code path with known-good field math)."""
+    from binius_ntt_tpu.ntt.radix2 import BB31_OPS, FieldOps
+
+    ops = FieldOps(*BB31_OPS)          # equal contents, different identity
+    assert ops is not BB31_OPS
+    for log_len in (6, 9):
+        inp = mt19937_stream(0xDEADBEEF + log_len, 1 << log_len)
+        ntt = NTTRadix2(137, 27, log_len, field_ops=ops)
+        assert not ntt.use_fused
+        out = ntt.apply(inp)
+        assert _digest(out) == BB31_NTT_HASHES[log_len]
+
+
 def test_per_stage_jit_path_matches_golden():
     for log_len in (8, 10):
         inp = mt19937_stream(0xDEADBEEF + log_len, 1 << log_len)
