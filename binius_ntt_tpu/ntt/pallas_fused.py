@@ -73,6 +73,20 @@ PT = int(os.environ.get("BNTT_PT", "8"))
 UNROLL_HI = int(os.environ.get("BNTT_UNROLL_HI", "0"))
 UNROLL_LOW = True     # lane/low-stage loop (5 steps, bottom group only)
 
+# BNTT_WIDE2: hand-written 2-wide hi-loop body — TWO butterfly/multiply
+# instantiations per fori_loop iteration (an odd leading stage peels off
+# statically).  The one unroll form Mosaic's own knob cannot express
+# (partial unroll values are rejected; see the round-4 knob_ab verdict):
+# tests whether giving the scheduler a pair of dependent 15k-op multiply
+# chains in one loop body recovers any of the ~12 ms residual vs SoL that
+# full static unroll did not.  Round-5 measured verdict (knob_ab rows,
+# both golden-PASS at 2^20, quiet chip): wide2 120.7 ms / 44.4 s compile
+# vs baseline 115.3 ms / 26.9 s at 2^24 — the 2-wide body LOSES ~5 ms.
+# That closes the last named unroll variant: each stage consumes the
+# whole previous tile (no cross-stage ILP to expose), and the rolled
+# 1-stage body at flat compile is the measured optimum of this kernel.
+WIDE2 = os.environ.get("BNTT_WIDE2", "") == "1"
+
 # TIMING PROBE ONLY (produces WRONG transforms — golden must FAIL): replace
 # the constant-geometry interleave write-back with a plain contiguous
 # concatenate of identical op volume minus the sublane shuffle.  Isolates
@@ -242,8 +256,23 @@ def _group_body(xt, q, mtile, minst, lanes, dpl=None, *, log_h: int, k: int,
 
     if k - n_zero > 0:
         steps = k - n_zero
-        unroll = steps if UNROLL_HI == -1 else max(min(UNROLL_HI, steps), 1)
-        xt = jax.lax.fori_loop(n_zero, k, hi_body, xt, unroll=unroll)
+        if WIDE2 and steps >= 2:
+            # manual 2-wide body: an odd leading stage peels off with a
+            # static index, then each iteration runs two full
+            # butterfly+multiply stages back to back
+            lead = steps % 2
+            if lead:
+                xt = hi_body(n_zero, xt)
+
+            def hi2_body(it, xt):
+                st = jnp.int32(n_zero + lead) + 2 * it
+                return hi_body(st + 1, hi_body(st, xt))
+
+            xt = jax.lax.fori_loop(0, (steps - lead) // 2, hi2_body, xt)
+        else:
+            unroll = (steps if UNROLL_HI == -1
+                      else max(min(UNROLL_HI, steps), 1))
+            xt = jax.lax.fori_loop(n_zero, k, hi_body, xt, unroll=unroll)
 
     if include_low:
         assert pt == 1

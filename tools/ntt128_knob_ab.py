@@ -42,7 +42,8 @@ def main() -> None:
     setup_compile_cache()
     log_h = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     knobs = {"KB": pf.KB, "KU": pf.KU, "PT": pf.PT,
-             "unroll_hi": pf.UNROLL_HI, "probe_concat": pf._PROBE_CONCAT}
+             "unroll_hi": pf.UNROLL_HI, "wide2": int(pf.WIDE2),
+             "probe_concat": pf._PROBE_CONCAT}
 
     # bit-exactness gate at 2^20 (fast; covers all three group kinds)
     gh = 20

@@ -31,9 +31,10 @@ def main():
                 r.get(k) for k in ("log_h", "log_len", "log_n", "rate",
                                    "num_vars", "composition", "op",
                                    "target", "variant", "phase",
-                                   # knob_ab: one row per knob config
+                                   # knob_ab / tile_ab: one row per config
                                    "KB", "KU", "PT", "unroll_hi",
-                                   "probe_concat"))
+                                   "wide2", "probe_concat",
+                                   "round_t", "fold_t"))
             rows[key] = r          # latest wins
 
     suites = OrderedDict()
@@ -128,15 +129,43 @@ def main():
                            f"{r['memcpy_ms']} | {r['transpose_ms']} | "
                            f"{r['raw_round_ms']} | {r['raw_fold_ms']} |")
         elif suite == "knob_ab":
-            out.append("| log_h | KB | KU | PT | unroll_hi | probe | "
+            out.append("| log_h | KB | KU | PT | unroll_hi | wide2 | probe | "
                        "golden20 | seconds | compile_s |")
-            out.append("|---|---|---|---|---|---|---|---|---|")
+            out.append("|---|---|---|---|---|---|---|---|---|---|")
             for r in rs:
+                # probe rows produce a WRONG transform by design (timing
+                # probe) — a golden FAIL there is the expected outcome, not
+                # a regression; render it so a FAIL-scan can tell them apart
+                if r["golden20_pass"]:
+                    gate = "PASS"
+                elif r.get("probe_concat"):
+                    gate = "FAIL (probe, expected)"
+                else:
+                    gate = "**FAIL**"
                 out.append(f"| {r['log_h']} | {r['KB']} | {r['KU']} | "
                            f"{r['PT']} | {r['unroll_hi']} | "
+                           f"{r.get('wide2', 0)} | "
                            f"{'Y' if r['probe_concat'] else ''} | "
-                           f"{'PASS' if r['golden20_pass'] else '**FAIL**'} | "
+                           f"{gate} | "
                            f"{r['seconds']} | {r['compile_s']} |")
+        elif suite == "coldstart":
+            out.append("| target | log | cold_first_result_s | "
+                       "warm_first_result_s | warm_setup_s |")
+            out.append("|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['target']} | {r['log']} | "
+                           f"{r['cold_first_result_s']} | "
+                           f"{r['warm_first_result_s']} | "
+                           f"{r['warm_setup_s']} |")
+        elif suite == "sumcheck_tile_ab":
+            out.append("| num_vars | composition | round_t | fold_t | "
+                       "equality | round_ms | fold_ms |")
+            out.append("|---|---|---|---|---|---|---|")
+            for r in rs:
+                out.append(f"| {r['num_vars']} | {r['composition']} | "
+                           f"{r['round_t']} | {r['fold_t']} | "
+                           f"{'PASS' if r['equality_pass'] else '**FAIL**'} |"
+                           f" {r['round_ms']} | {r['fold_ms']} |")
         elif suite == "sharded_capacity":
             out.append("| num_vars | composition | devices | pass | "
                        "per_shard_bytes | round0_s | fold_s |")
