@@ -37,6 +37,7 @@ small to fill one tile fall back to the prover's jnp while_loop kernels
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,11 @@ from ..fields import tower_scalar as ts
 from ..ntt.pallas_kernels import HEIGHT, W, _mul_planes
 
 T = 1024          # batch rows per tile (scaled down per composition size)
+
+# A/B overrides for the tile-size experiments (tools/sumcheck_tile_ab.py);
+# production defaults live in round_tile / fold_tile below
+_ROUND_T_ENV = os.environ.get("BNTT_ROUND_T", "")
+_FOLD_T_ENV = os.environ.get("BNTT_FOLD_T", "")
 
 
 def _fold_matrix(p: int) -> tuple:
@@ -64,14 +70,6 @@ def _planes(tile):
     """(T, W) -> list of W (T,) plane vectors (one 2-D transpose)."""
     t = tile.T
     return [t[i] for i in range(W)]
-
-
-def _comp(cols_pl):
-    """Composition product over per-column plane lists."""
-    acc = cols_pl[0]
-    for c in range(1, len(cols_pl)):
-        acc = _mul_planes(acc, cols_pl[c], HEIGHT)
-    return acc
 
 
 def _fold_point_planes(low_pl, xh_pl, mat):
@@ -91,11 +89,15 @@ def _stack_t(pl_list):
 
 
 def round_tile(c: int, b: int) -> int:
-    """Row-tile size: scales down with composition size (VMEM: double-
-    buffered input blocks + plane lists + the ~510-plane multiply live set
-    must fit the 16MB scoped budget; measured: c=2 t=1024 16.55M,
-    c=3 t=512 16.01M)."""
-    return min({2: T // 2, 3: T // 4}.get(c, T // 8), b // 2)
+    """Row-tile size — MEASURED optimum per composition size (round-5
+    sumcheck_tile_ab sweep at 2^24, equality-gated): the column-outer
+    body fits t=512 at every c under the 16M scoped-VMEM budget, but the
+    runtime optimum still shrinks with c (the c*t input blocks plus the
+    2+n_extra running product lists compete with the multiply's ~510-plane
+    live set for scheduling room): c=2 -> 512, c=3 -> 256, c=4 -> 128."""
+    if _ROUND_T_ENV:
+        return min(int(_ROUND_T_ENV), b // 2)
+    return min({2: 512, 3: 256}.get(c, 128), b // 2)
 
 
 @functools.partial(jax.jit, static_argnames=("num_points",))
@@ -110,8 +112,7 @@ def round_kernel(evals, rows, *, num_points: int):
     t = round_tile(c, b)
     grid = b // (2 * t)
     live = rows // (2 * t)               # live tiles this round (>= 1)
-    n_extra = num_points - 2             # points >= 2 need real folds
-    mats = [_fold_matrix(p) for p in range(2, num_points)]
+    mats = [_fold_matrix(p) for p in range(2, num_points)]  # points >= 2
 
     # dead grid steps (i >= live) clamp onto the last live block: the block
     # index repeats on consecutive steps, so Pallas skips the re-fetch
@@ -143,22 +144,38 @@ def round_kernel(evals, rows, *, num_points: int):
 
         @pl.when(i < lv)
         def _work():
-            low_pl = [_planes(lo_ref[cc]) for cc in range(c)]
-            up_pl = [_planes(up_ref[cc]) for cc in range(c)]
-            comp_lo = _comp(low_pl)          # == fold at point 0
-            comp_up = _comp(up_pl)           # == fold at point 1
-            accs = [
-                _acc_tile([a ^ b for a, b in zip(comp_lo, comp_up)]),
-                _acc_tile(comp_lo),
-                _acc_tile(comp_up),
-            ]
-            if n_extra:
-                xh_pl = [[a ^ b for a, b in zip(low_pl[cc], up_pl[cc])]
-                         for cc in range(c)]
-                for mat in mats:
-                    folded = [_fold_point_planes(low_pl[cc], xh_pl[cc], mat)
-                              for cc in range(c)]
-                    accs.append(_acc_tile(_comp(folded)))
+            # COLUMN-OUTER single pass: each column's plane lists are
+            # built exactly once (two tile transposes per column — the
+            # minimum) and feed the running products of every output at
+            # once.  The live set is the 2 + n_extra running product
+            # lists plus one column's lp/up/xh — ~c-independent, unlike
+            # the round-4 eager form that held 3c lists simultaneously
+            # and forced t down to 256/128 at C=3/4 (costing ~17-25% over
+            # the per-multiply bound); a points-outer lazy form was also
+            # measured and lost ~11% to re-transposing columns per point.
+            comp_lo = comp_up = None
+            accs_extra = [None] * len(mats)
+            for cc in range(c):
+                lp = _planes(lo_ref[cc])
+                up = _planes(up_ref[cc])
+                if mats:
+                    xh = [a ^ b for a, b in zip(lp, up)]
+                    for mi, mat in enumerate(mats):
+                        f = _fold_point_planes(lp, xh, mat)
+                        accs_extra[mi] = (f if cc == 0 else _mul_planes(
+                            accs_extra[mi], f, HEIGHT))
+                comp_lo = (lp if cc == 0
+                           else _mul_planes(comp_lo, lp, HEIGHT))
+                comp_up = (up if cc == 0
+                           else _mul_planes(comp_up, up, HEIGHT))
+            a_lo = _acc_tile(comp_lo)        # == fold at point 0
+            a_up = _acc_tile(comp_up)        # == fold at point 1
+            # total = XOR over BOTH halves: reduce-then-XOR equals
+            # XOR-then-reduce and saves a 128-plane temporary list (the
+            # c=3 t=512 kernel was 8 KB over the 16M scoped-VMEM limit
+            # with the zip-XOR form)
+            accs = [a_lo ^ a_up, a_lo, a_up]
+            accs.extend(_acc_tile(a) for a in accs_extra)
             new = jnp.stack(accs)            # (1+P, 8, W)
 
             @pl.when(i == 0)
@@ -184,8 +201,15 @@ def round_kernel(evals, rows, *, num_points: int):
 
 
 def fold_tile(c: int, b: int) -> int:
-    """Fold-kernel row tile (same VMEM discipline as round_tile)."""
-    return min(T // 2 if c == 2 else T // 4, b // 2)
+    """Fold-kernel row tile — composition-size-independent: the fold is
+    per-column independent, so the kernel grids over (column, row-tile)
+    with (1, t, 128) blocks and the block footprint never scales with c
+    (the round-4 kernel blocked whole (c, t, 128) slabs and halved t at
+    c>=3, costing fold efficiency exactly where the reference struggles,
+    kernels.cu:9-31)."""
+    if _FOLD_T_ENV:
+        return min(int(_FOLD_T_ENV), b // 2)
+    return min(T // 2, b // 2)
 
 
 def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):
@@ -208,43 +232,43 @@ def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):
     """
     c, b, _ = evals.shape
     t = fold_tile(c, b)
-    grid = b // (2 * t)
+    grid_b = b // (2 * t)
     live = rows // (2 * t)
     b_out = b // 2 if shrink else b
-    out_grid_cap = b_out // t
 
     # 128 scalar planes: bit i of the challenge -> 0 / 0xFFFFFFFF
     bits = (coeff_words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
     planes = (jnp.uint32(0) - bits.reshape(W)).reshape(1, W)
 
+    # per-column blocking: grid (c, row-tiles), block (1, t, 128) — the
+    # fold is column-independent, so the block footprint stays constant
+    # in c and t never shrinks for larger compositions
     lo_spec = pl.BlockSpec(
-        (c, t, W),
-        lambda i, lv: (0, jnp.minimum(i, lv[0] - 1), 0),
+        (1, t, W),
+        lambda cc, i, lv: (cc, jnp.minimum(i, lv[0] - 1), 0),
         memory_space=pltpu.VMEM)
     up_spec = pl.BlockSpec(
-        (c, t, W),
-        lambda i, lv: (0, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0),
+        (1, t, W),
+        lambda cc, i, lv: (cc, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0),
         memory_space=pltpu.VMEM)
-    del out_grid_cap
     out_spec = lo_spec       # same blocking; dead steps revisit block lv-1
-    w_spec = pl.BlockSpec((1, W), lambda i, lv: (0, 0),
+    w_spec = pl.BlockSpec((1, W), lambda cc, i, lv: (0, 0),
                           memory_space=pltpu.VMEM)
 
     def kern(lv_ref, w_ref, lo_ref, up_ref, out_ref):
-        i = pl.program_id(0)
+        i = pl.program_id(1)
 
         @pl.when(i < lv_ref[0])
         def _work():
             pa = [w_ref[0, i2] for i2 in range(W)]   # scalar planes
-            for cc in range(c):
-                lo = lo_ref[cc]
-                xh_pl = _planes(lo ^ up_ref[cc])
-                prod = _mul_planes(pa, xh_pl, HEIGHT)
-                out_ref[cc] = lo ^ _stack_t(prod)
+            lo = lo_ref[0]
+            xh_pl = _planes(lo ^ up_ref[0])
+            prod = _mul_planes(pa, xh_pl, HEIGHT)
+            out_ref[0] = lo ^ _stack_t(prod)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(grid,),
+        grid=(c, grid_b),
         in_specs=[w_spec, lo_spec, up_spec],
         out_specs=out_spec,
     )
