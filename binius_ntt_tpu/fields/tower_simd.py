@@ -83,6 +83,15 @@ def inverse_packed(x, height: int):
     (branchless, no gathers).  inverse(0) = 0, like the reference's table.
     The element must occupy the low 2^height bits (upper bits zero), which
     keeps every lane-parallel sub-multiply's unused lanes zero.
+
+    DELIBERATELY off the Pallas/north-star path (decided round 5, see
+    PERF.md "tower inverse"): the recursion is ~600 dependent word-ops per
+    element, XLA already fuses the chain to within ~2.5x of its ALU floor
+    (measured 6.1e8 inv/s, ~2x the reference GPU), and NO production path
+    calls it — NTT normalisation inverts log_h scalars on the HOST and
+    neither sumcheck prover inverts on device.  A Pallas body would buy
+    at most ~2.5x on an op with no callers; revisit only if an inverse
+    ever lands on a hot path.
     """
     if height <= 2:
         x2 = mul_packed(x, x, 2)

@@ -149,7 +149,20 @@ class AdditiveNTT:
         graph grows superlinearly with tensor size (~15 min at 2^24), so
         large transforms default to the per-stage path; steady-state runtime
         is within a few dispatch overheads of the fused program.
+
+        Accepts an NTTData wrapper: the additive transform requires
+        IN_ORDER input — a BIT_REVERSED wrapper raises, the analogue of
+        the reference's order assertion (additive_ntt.cuh:206-208).
         """
+        from .nttdata import DataOrder, NTTData
+
+        if isinstance(x, NTTData):
+            if x.order is not DataOrder.IN_ORDER:
+                raise ValueError(
+                    "AdditiveNTT.apply requires IN_ORDER input "
+                    "(additive_ntt.cuh:206-208)")
+            return NTTData(self.apply(x.data, per_stage_jit=per_stage_jit),
+                           DataOrder.IN_ORDER)
         x = jnp.asarray(x, dtype=jnp.uint32)
         if x.shape != (1 << self.log_h,):
             raise ValueError(

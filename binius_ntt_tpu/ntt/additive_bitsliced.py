@@ -101,9 +101,19 @@ class AdditiveNTT128:
             from . import pallas_fused as pf
 
             tables = pf.build_tables(rows, log_h, log_rate)
+
             # tables hold python ints (group shapes) -> close over them
-            self._apply_sliced = jax.jit(lambda data: pf.apply_fused(
-                data, tables, log_h=log_h, log_rate=log_rate))
+            def _run(data):
+                return pf.apply_fused(data, tables, log_h=log_h,
+                                      log_rate=log_rate)
+
+            self._apply_sliced = jax.jit(_run)
+            # donated variant for the capacity path: the stage groups
+            # alias their tiles in place, so XLA inserts a defensive copy
+            # of a NON-donated input before the first group — at a 2^29
+            # r0 input (8.6 GB) that copy is the difference between
+            # fitting the 15.75 GB chip and OOM
+            self._apply_sliced_donated = jax.jit(_run, donate_argnums=0)
             return
 
         high_tables = {}
@@ -154,7 +164,18 @@ class AdditiveNTT128:
 
     def apply(self, x_words):
         """Compact interface: x_words (2^log_h * 4,) uint32 little-endian
-        element-major -> (2^(log_h+log_rate) * 4,) words."""
+        element-major -> (2^(log_h+log_rate) * 4,) words.
+
+        Accepts an NTTData wrapper (IN_ORDER required, like the reference's
+        order assertion at additive_ntt.cuh:206-208)."""
+        from .nttdata import DataOrder, NTTData
+
+        if isinstance(x_words, NTTData):
+            if x_words.order is not DataOrder.IN_ORDER:
+                raise ValueError(
+                    "AdditiveNTT128.apply requires IN_ORDER input "
+                    "(additive_ntt.cuh:206-208)")
+            return NTTData(self.apply(x_words.data), DataOrder.IN_ORDER)
         n = 1 << self.log_h
         # Capacity gate: the on-device (un)transpose's HLO temps run ~4x
         # the array (measured 16 GB at 2^28's 4 GB array) — at sizes where
@@ -172,7 +193,10 @@ class AdditiveNTT128:
             # whole-array device transposes blow HLO temps ~4x past HBM,
             # and host numpy takes ~50 min at 2^28 on one core
             sliced = bitslice_transpose_streamed(xh.reshape(n // 32, W))
-            out = self.apply_sliced(sliced)
+            if self.use_fused:
+                out = self._apply_sliced_donated(sliced)
+            else:
+                out = self.apply_sliced(sliced)
             del sliced
             return bitslice_untranspose_streamed(out).reshape(-1)
         x = jnp.asarray(x_words, dtype=jnp.uint32)

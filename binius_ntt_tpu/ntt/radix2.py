@@ -172,7 +172,9 @@ class NTTRadix2:
         """x: (2^log_n,) canonical uint32 values -> IN_ORDER transform output.
 
         `input_bit_reversed=False` matches DataOrder::IN_ORDER (the kernel
-        bit-reverses first, gpuntt.cuh:163-168).
+        bit-reverses first, gpuntt.cuh:163-168).  An NTTData wrapper is
+        accepted in place of the flag and returned with the output's order
+        (always IN_ORDER — gpuntt.cuh:180 labels it so).
 
         per_stage_jit: one small program per stage, with the small-span
         stages (2^s < 128) run on a transposed (128, rows) view — the
@@ -180,6 +182,14 @@ class NTTRadix2:
         2^26+ ("Extra memory due to padding"), and its compile time grows
         superlinearly with size.  Defaults on for log_n >= 22.
         """
+        from .nttdata import DataOrder, NTTData
+
+        if isinstance(x, NTTData):
+            out = self.apply(
+                x.data,
+                input_bit_reversed=(x.order is DataOrder.BIT_REVERSED),
+                per_stage_jit=per_stage_jit)
+            return NTTData(out, DataOrder.IN_ORDER)
         x = jnp.asarray(x, dtype=jnp.uint32)
         if x.shape != (1 << self.log_n,):
             raise ValueError(

@@ -85,6 +85,10 @@ def setup_compile_cache() -> None:
 
     Shared by bench.py and tools/tpu_validation.py: remote (tunnel) compiles
     run 10s-1000s, so repeat runs must hit the on-disk cache.
+
+    BNTT_CACHE_DIR overrides the location — the coldstart suite
+    (tools/coldstart.py) points it at an empty temp dir to measure a true
+    cold compile without disturbing the shared cache.
     """
     import os
 
@@ -92,7 +96,8 @@ def setup_compile_cache() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    cache_dir = (os.environ.get("BNTT_CACHE_DIR")
+                 or os.path.join(repo, ".jax_cache"))
     jax.config.update("jax_enable_compilation_cache", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -333,6 +333,11 @@ def run_sumcheck_phases(*num_vars_list):
     from binius_ntt_tpu.utils.benchlib import device_time, _force
     from binius_ntt_tpu.utils.mt19937 import mt19937_stream
 
+    # backend/tunnel warmup: the first transfer in a fresh process pays
+    # PJRT client init and any tunnel reconnect — never let that land in
+    # a timed row (the round-4 sweep committed a 99 s 'memcpy' this way)
+    _force(jnp.zeros((8, BITS_WIDTH), jnp.uint32) + jnp.uint32(1))
+
     for num_vars in num_vars_list:
         num_vars = int(num_vars)
         for comp in (2, 3, 4):
@@ -342,11 +347,18 @@ def run_sumcheck_phases(*num_vars_list):
             rows = (1 << num_vars) // 32
 
             # memcpy: H2D upload, forced via a readback of a tiny slice
-            # (block_until_ready is unreliable through the tunnel)
-            t0 = time.time()
-            dev = jnp.asarray(arr)
-            _force(dev)
-            memcpy_s = time.time() - t0
+            # (block_until_ready is unreliable through the tunnel);
+            # median of 3 fresh uploads so one tunnel hiccup cannot
+            # masquerade as the steady transfer rate
+            samples = []
+            for rep in range(3):
+                t0 = time.time()
+                dev = jnp.asarray(arr)
+                _force(dev)
+                samples.append(time.time() - t0)
+                if rep < 2:
+                    del dev
+            memcpy_s = sorted(samples)[1]
 
             _force(_transpose_kernel(dev))     # compile
             transpose_s = device_time(lambda: _transpose_kernel(dev), reps=3)
