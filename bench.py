@@ -128,16 +128,24 @@ def bench_radix2(log_n: int = 24):
     return best
 
 
-def _device_preflight(timeout_s: float = 180.0) -> bool:
+def _device_preflight(timeout_s: float = 300.0) -> bool:
     """PJRT init hangs indefinitely when the axon tunnel relay is down
     (observed 2026-08-17: client init blocks with nothing listening on the
-    relay ports).  Probe device discovery in a child process under a
-    timeout so a dead tunnel yields a diagnostic JSON line, not a hang."""
+    relay ports), and the compile/execute path can degrade independently
+    while device DISCOVERY still succeeds (observed 2026-08-20: trivial
+    compiles took 50 s, then executions failed with INTERNAL backend
+    errors).  Probe an actual tiny compile+run in a child process under a
+    timeout so either failure mode yields a diagnostic JSON line, not a
+    hang."""
     import subprocess
 
+    probe = ("import jax, jax.numpy as jnp; "
+             "y = jax.jit(lambda v: (v ^ (v >> 3)).sum())"
+             "(jnp.arange(4096, dtype=jnp.uint32)); "
+             "assert int(y) >= 0")
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
