@@ -206,10 +206,13 @@ def fold_tile(c: int, b: int) -> int:
     with (1, t, 128) blocks and the block footprint never scales with c
     (the round-4 kernel blocked whole (c, t, 128) slabs and halved t at
     c>=3, costing fold efficiency exactly where the reference struggles,
-    kernels.cu:9-31)."""
+    kernels.cu:9-31).  Round-5 tile sweep at 2^24 (equality-gated, same
+    session): t=1024 beats 512 beats 256 at every c — 9.79/13.85/19.24 ms
+    for C=2/3/4 vs 15.33/22.58/30.12 at t=256 — so the full T is the
+    default."""
     if _FOLD_T_ENV:
         return min(int(_FOLD_T_ENV), b // 2)
-    return min(T // 2, b // 2)
+    return min(T, b // 2)
 
 
 def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):

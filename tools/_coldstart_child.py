@@ -13,8 +13,12 @@ dir for cold samples and at the repo cache for warm ones.
 """
 
 import json
+import os
 import sys
 import time
+
+# invoked as a script path: python adds tools/ to sys.path, not the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T0 = time.time()
 

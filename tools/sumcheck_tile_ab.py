@@ -61,6 +61,12 @@ def main() -> None:
 
         ok = True
         for live_rows in (rows, rows // 2):
+            # both kernels require live_rows >= 2 * tile (>= one live
+            # tile; the prover's dispatch enforces the same) — a smaller
+            # live count clamps the index maps to block -1 and crashes
+            if live_rows < 2 * pr.round_tile(comp, rows) or \
+                    live_rows < 2 * pr.fold_tile(comp, rows):
+                continue
             if not fold_only:
                 want = np.asarray(pr.round_emulate(
                     buf[:, :live_rows], num_points=comp + 1))
