@@ -55,6 +55,17 @@ T = 1024          # batch rows per tile (scaled down per composition size)
 _ROUND_T_ENV = os.environ.get("BNTT_ROUND_T", "")
 _FOLD_T_ENV = os.environ.get("BNTT_FOLD_T", "")
 
+# BNTT_ROUND_ROLL (default ON): roll the COLUMN loops of the round
+# kernel with lax.fori_loop (dynamic-start ref reads, plane-stack (W, t)
+# carries) so the Mosaic body holds 2 + n_extra multiply instantiations
+# instead of (C+1)(C-1).  Round-5 device A/B at 2^24, equality-gated,
+# default tiles (which a rolled-body re-sweep confirmed: 512 t=512 and
+# 1024 lose or OOM): C=2 11.44 vs 11.63 ms (neutral), C=3 34.33 vs
+# 36.29 (-5%), C=4 62.59 vs 75.08 (-17%) — confirming the C>=3 droop
+# was code-size-induced schedule degradation (the unrolled C=4 body is
+# ~15 x 15k vector ops).  BNTT_ROUND_ROLL=0 selects the unrolled body.
+ROUND_ROLL = os.environ.get("BNTT_ROUND_ROLL", "1") == "1"
+
 
 def _fold_matrix(p: int) -> tuple:
     """4x4 GF(2) matrix of mul-by-p in the height-2 subfield.
@@ -86,6 +97,66 @@ def _fold_point_planes(low_pl, xh_pl, mat):
 
 def _stack_t(pl_list):
     return jnp.stack(pl_list).T          # (T, W)
+
+
+def _mul_planes_stacked(aT, bT):
+    """Multiply two (W, t) plane-stacks -> (W, t) plane-stack."""
+    pa = [aT[i] for i in range(W)]
+    pb = [bT[i] for i in range(W)]
+    return jnp.stack(_mul_planes(pa, pb, HEIGHT))
+
+
+def _acc_tile_T(accT, t: int):
+    """(W, t) plane-stack -> (8, W) XOR-reduced accumulator tile."""
+    x = accT.T.reshape(t // 8, 8, W)
+    while x.shape[0] > 1:
+        half_n = x.shape[0] // 2
+        x = x[:half_n] ^ x[half_n:]
+    return x[0]
+
+
+def _work_rolled(lo_ref, up_ref, acc_ref, i, *, c: int, t: int, mats):
+    """BNTT_ROUND_ROLL variant of the round-kernel tile body: the column
+    loops run as lax.fori_loop with dynamic-start ref reads, so the body
+    carries 2 + n_extra multiply instantiations regardless of C (fold
+    matrices stay STATIC per point — only columns roll)."""
+
+    def col(ref, cc):
+        return ref[pl.ds(cc, 1)][0]          # (t, W), dynamic start
+
+    def comp_rolled(ref):
+        def body(cc, accT):
+            return _mul_planes_stacked(accT, col(ref, cc).T)
+
+        return jax.lax.fori_loop(1, c, body, ref[0].T)
+
+    def folded_T(lo_t, up_t, mat):
+        loT = lo_t.T
+        xhT = (lo_t ^ up_t).T
+        lo_pl = [loT[k] for k in range(W)]
+        xh_pl = [xhT[k] for k in range(W)]
+        return jnp.stack(_fold_point_planes(lo_pl, xh_pl, mat))
+
+    a_lo = _acc_tile_T(comp_rolled(lo_ref), t)
+    a_up = _acc_tile_T(comp_rolled(up_ref), t)
+    accs = [a_lo ^ a_up, a_lo, a_up]
+    for mat in mats:
+        f0 = folded_T(lo_ref[0], up_ref[0], mat)
+
+        def body(cc, accT, mat=mat):
+            return _mul_planes_stacked(
+                accT, folded_T(col(lo_ref, cc), col(up_ref, cc), mat))
+
+        accs.append(_acc_tile_T(jax.lax.fori_loop(1, c, body, f0), t))
+    new = jnp.stack(accs)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = new
+
+    @pl.when(i != 0)
+    def _acc():
+        acc_ref[:] = acc_ref[:] ^ new
 
 
 def round_tile(c: int, b: int) -> int:
@@ -144,6 +215,10 @@ def round_kernel(evals, rows, *, num_points: int):
 
         @pl.when(i < lv)
         def _work():
+            if ROUND_ROLL:
+                _work_rolled(lo_ref, up_ref, acc_ref, i, c=c, t=t,
+                             mats=mats)
+                return
             # COLUMN-OUTER single pass: each column's plane lists are
             # built exactly once (two tile transposes per column — the
             # minimum) and feed the running products of every output at

@@ -34,7 +34,7 @@ def main():
                                    # knob_ab / tile_ab: one row per config
                                    "KB", "KU", "PT", "unroll_hi",
                                    "wide2", "probe_concat",
-                                   "round_t", "fold_t"))
+                                   "round_t", "fold_t", "round_roll"))
             rows[key] = r          # latest wins
 
     suites = OrderedDict()
