@@ -159,11 +159,12 @@ def main():
                            f"{r['warm_setup_s']} |")
         elif suite == "sumcheck_tile_ab":
             out.append("| num_vars | composition | round_t | fold_t | "
-                       "equality | round_ms | fold_ms |")
-            out.append("|---|---|---|---|---|---|---|")
+                       "rolled | equality | round_ms | fold_ms |")
+            out.append("|---|---|---|---|---|---|---|---|")
             for r in rs:
                 out.append(f"| {r['num_vars']} | {r['composition']} | "
                            f"{r['round_t']} | {r['fold_t']} | "
+                           f"{r.get('round_roll', 0)} | "
                            f"{'PASS' if r['equality_pass'] else '**FAIL**'} |"
                            f" {r['round_ms']} | {r['fold_ms']} |")
         elif suite == "sharded_capacity":
