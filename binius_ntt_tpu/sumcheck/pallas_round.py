@@ -276,18 +276,19 @@ def round_kernel(evals, rows, *, num_points: int):
 
 
 def fold_tile(c: int, b: int) -> int:
-    """Fold-kernel row tile — composition-size-independent: the fold is
-    per-column independent, so the kernel grids over (column, row-tile)
-    with (1, t, 128) blocks and the block footprint never scales with c
-    (the round-4 kernel blocked whole (c, t, 128) slabs and halved t at
-    c>=3, costing fold efficiency exactly where the reference struggles,
-    kernels.cu:9-31).  Round-5 tile sweep at 2^24 (equality-gated, same
-    session): t=1024 beats 512 beats 256 at every c — 9.79/13.85/19.24 ms
-    for C=2/3/4 vs 15.33/22.58/30.12 at t=256 — so the full T is the
-    default."""
+    """Fold-kernel row tile.  The fold is per-column independent, so at
+    c >= 3 the kernel grids over (column, row-tile) with (1, t, 128)
+    blocks — the block footprint never scales with c and t stays at the
+    full T (the round-4 kernel blocked whole (c, t, 128) slabs and
+    halved t at c>=3, costing 15-22% exactly where the reference
+    struggles, kernels.cu:9-31; per-column sweep: t=1024 beats 512 beats
+    256 at every c — 13.85/19.24 ms at C=3/4).  c=2 instead folds BOTH
+    columns per grid step in a whole-(2, t, 128) block (fewer, larger
+    steps win at small c: the per-column form cost ~7%); whole-block
+    t=1024 OOMs scoped VMEM at 18.0M, so c=2 keeps t=512."""
     if _FOLD_T_ENV:
         return min(int(_FOLD_T_ENV), b // 2)
-    return min(T, b // 2)
+    return min(T if c >= 3 else T // 2, b // 2)
 
 
 def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):
@@ -318,35 +319,48 @@ def fold_kernel_impl(evals, coeff_words, rows, *, shrink: bool = False):
     bits = (coeff_words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
     planes = (jnp.uint32(0) - bits.reshape(W)).reshape(1, W)
 
-    # per-column blocking: grid (c, row-tiles), block (1, t, 128) — the
-    # fold is column-independent, so the block footprint stays constant
-    # in c and t never shrinks for larger compositions
+    # blocking, measured per composition size (round-5 sweep):
+    #   c == 2  -> whole-(c, t, 128) blocks, grid (row-tiles,): both
+    #     columns fold in one step (fewer, larger grid steps — the
+    #     per-column form costs ~7% at c=2 from doubled step count);
+    #   c >= 3  -> per-column (1, t, 128) blocks, grid (c, row-tiles):
+    #     the block footprint stays constant in c, so t never shrinks
+    #     for larger compositions (the round-4 all-c whole-block form
+    #     halved t at c>=3 and cost 15-22% there).
+    per_col = c >= 3
+    cb = 1 if per_col else c
     lo_spec = pl.BlockSpec(
-        (1, t, W),
-        lambda cc, i, lv: (cc, jnp.minimum(i, lv[0] - 1), 0),
+        (cb, t, W),
+        (lambda cc, i, lv: (cc, jnp.minimum(i, lv[0] - 1), 0)) if per_col
+        else (lambda i, lv: (0, jnp.minimum(i, lv[0] - 1), 0)),
         memory_space=pltpu.VMEM)
     up_spec = pl.BlockSpec(
-        (1, t, W),
-        lambda cc, i, lv: (cc, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0),
+        (cb, t, W),
+        (lambda cc, i, lv: (cc, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0))
+        if per_col
+        else (lambda i, lv: (0, jnp.minimum(i + lv[0], 2 * lv[0] - 1), 0)),
         memory_space=pltpu.VMEM)
     out_spec = lo_spec       # same blocking; dead steps revisit block lv-1
-    w_spec = pl.BlockSpec((1, W), lambda cc, i, lv: (0, 0),
-                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
+        (1, W),
+        (lambda cc, i, lv: (0, 0)) if per_col else (lambda i, lv: (0, 0)),
+        memory_space=pltpu.VMEM)
 
     def kern(lv_ref, w_ref, lo_ref, up_ref, out_ref):
-        i = pl.program_id(1)
+        i = pl.program_id(1 if per_col else 0)
 
         @pl.when(i < lv_ref[0])
         def _work():
             pa = [w_ref[0, i2] for i2 in range(W)]   # scalar planes
-            lo = lo_ref[0]
-            xh_pl = _planes(lo ^ up_ref[0])
-            prod = _mul_planes(pa, xh_pl, HEIGHT)
-            out_ref[0] = lo ^ _stack_t(prod)
+            for blk_c in range(cb):
+                lo = lo_ref[blk_c]
+                xh_pl = _planes(lo ^ up_ref[blk_c])
+                prod = _mul_planes(pa, xh_pl, HEIGHT)
+                out_ref[blk_c] = lo ^ _stack_t(prod)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(c, grid_b),
+        grid=(c, grid_b) if per_col else (grid_b,),
         in_specs=[w_spec, lo_spec, up_spec],
         out_specs=out_spec,
     )

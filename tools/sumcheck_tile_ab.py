@@ -42,9 +42,11 @@ def main() -> None:
     setup_compile_cache()
     num_vars = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     comps = [int(a) for a in sys.argv[2:]] or [2, 3, 4]
+    from binius_ntt_tpu.sumcheck import pallas_round as _pr
+
     knobs = {"round_t": os.environ.get("BNTT_ROUND_T", "default"),
              "fold_t": os.environ.get("BNTT_FOLD_T", "default"),
-             "round_roll": int(os.environ.get("BNTT_ROUND_ROLL", "") == "1")}
+             "round_roll": int(_pr.ROUND_ROLL)}
     # fold-only mode: skip the round compile+timing (a fold-tile sweep
     # would otherwise pay ~2 needless Mosaic compiles per config)
     fold_only = os.environ.get("BNTT_AB_FOLD_ONLY", "") == "1"
